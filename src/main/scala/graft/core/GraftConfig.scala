@@ -1,0 +1,80 @@
+package graft.core
+
+/** Pipeline configuration — the graft analogue of the reference's three
+  * text configs + weight table (/root/reference/SimHashConfig.cpp:12-74,
+  * node_weight_config.txt, token_boundary_config.txt, dif_config.txt).
+  * Loaded on the driver and captured in closures / broadcast; every value
+  * that shapes cluster assignment lives here so the Spark pipeline and the
+  * sequential oracle provably run "the same shingle/signature config"
+  * (BASELINE.json north_rule).
+  *
+  * @param shingleK       caption word-k-gram size (analogue of per-node
+  *                       feature words, SURVEY.md §2.3 G2)
+  * @param weights        token-kind → weight; `DEFAULT` fallback mirrors
+  *                       /root/reference/EigenWord.cpp:28-37. Weight 0 kinds
+  *                       contribute nothing (node_weight_config.txt tier 0).
+  * @param minSpan        min normalized-caption char span to fingerprint —
+  *                       analogue of the 200-char block gate
+  *                       (/root/reference/token_boundary_config.txt,
+  *                       EigenWordGenerate.cpp:90-95); default sized for
+  *                       captions, reference value kept in
+  *                       [[GraftConfig.referenceGate]]
+  * @param spanRatio      candidate span prefilter `|t1-t2| <= ratio*min` —
+  *                       hard-coded 0.3 in /root/reference/SimHasher.cpp:96-99
+  * @param sigmaHigh      high-tier Hamming threshold (dif_config.txt line 2 = 1)
+  * @param sigmaNormal    normal-tier threshold (dif_config.txt line 3 = -1:
+  *                       matches nothing, kept as shipped — SURVEY.md §7.1)
+  * @param minhashK       MinHash signature length
+  * @param rowsPerBand    LSH band height (bands = minhashK / rowsPerBand)
+  * @param jaccardTau     Jaccard verification threshold for band candidates
+  * @param nBlocks        SimHash pigeonhole block count (must be > sigmaHigh
+  *                       for exact candidate completeness)
+  * @param hotBucketCap   bucket size above which salting kicks in (north_rule
+  *                       "explicit salting of hot LSH buckets")
+  * @param seed           deterministic seed for MinHash permutations
+  */
+final case class GraftConfig(
+    shingleK: Int = 3,
+    weights: Map[String, Int] = GraftConfig.defaultWeights,
+    minSpan: Int = 12,
+    spanRatio: Double = 0.3,
+    sigmaHigh: Int = 1,
+    sigmaNormal: Int = -1,
+    minhashK: Int = 64,
+    rowsPerBand: Int = 4,
+    jaccardTau: Double = 0.7,
+    nBlocks: Int = 4,
+    hotBucketCap: Int = 2000,
+    seed: Long = 42L
+) {
+  require(nBlocks > sigmaHigh, "pigeonhole completeness needs nBlocks > sigmaHigh")
+  require(minhashK % rowsPerBand == 0, "minhashK must divide into bands")
+
+  def weightOf(kind: String): Int =
+    weights.getOrElse(kind, weights.getOrElse(GraftConfig.Default, 1))
+
+  def nBands: Int = minhashK / rowsPerBand
+}
+
+object GraftConfig {
+  val Default = "DEFAULT"
+
+  /** Token-kind weights. Mirrors the reference's tiered table shape
+    * (node_weight_config.txt:1-103): a zero tier exists so tests can pin
+    * the zero-weight-invariance property (EigenWord.cpp:39-44 with w=0).
+    */
+  val defaultWeights: Map[String, Int] = Map(
+    "CAPGRAM" -> 3, // caption word k-grams — primary signal
+    "CAPWORD" -> 1, // single caption words — low-weight smoothing
+    "PHASH" -> 2,   // phash nibble tokens — payload fusion (north_star)
+    "NOISE" -> 0,   // analogue of ImplicitCastExpr/DeclRefExpr weight-0 tier
+    Default -> 1
+  )
+
+  /** The reference's shipped gate values, for fidelity tests
+    * (/root/reference/token_boundary_config.txt, dif_config.txt).
+    */
+  val referenceGate: Int = 200
+  val referenceSigmaHigh: Int = 1
+  val referenceSigmaNormal: Int = -1
+}
