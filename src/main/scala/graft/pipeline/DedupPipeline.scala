@@ -1,0 +1,99 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.GraftConfig
+import graft.model.FingerprintRow
+
+/** End-to-end near-duplicate detection + clustering job (SURVEY.md §3.4):
+  *
+  *   read → validate/normalize → per-row fingerprint (narrow)
+  *        → candidate self-joins (simhash bit-blocks ∪ minhash bands)
+  *        → verify (Hamming / Jaccard) → union+dedup
+  *        → connected components → cluster stats → sinks + audit.
+  *
+  * Every stage is DataFrame/Dataset algebra (no RDDs); the only driver-side
+  * loop is the CC iteration barrier. Input contract is BASELINE.json
+  * `input_hint`'s image table; `run` also accepts any table exposing
+  * (image_id, caption, phash) — e.g. the documents corpus with a derived
+  * phash — because the pipeline never touches pixel bytes after validation.
+  */
+object DedupPipeline {
+
+  /** Ingest + validity filter (SURVEY.md §2.2 F1): non-null id/caption and,
+    * when a bytes column exists, non-null payload. Column pruning: callers
+    * select only what they need downstream; the fingerprint stage reads
+    * (image_id, caption, phash) and never `bytes`.
+    */
+  def ingest(spark: SparkSession, path: String): DataFrame = {
+    val df = spark.read.parquet(path)
+    val valid =
+      if (df.columns.contains("bytes")) df.filter(col("bytes").isNotNull) else df
+    valid.filter(col("image_id").isNotNull && col("caption").isNotNull)
+  }
+
+  final case class Result(
+      fingerprints: Dataset[FingerprintRow],
+      edges: DataFrame,     // (a, b, source)
+      clusters: DataFrame,  // (image_id, cluster_id) — every fingerprinted row
+      stats: DataFrame,     // per-cluster stats
+      ccIterations: Int
+  )
+
+  /** Run on an already-loaded image frame. When `audit` is given, every
+    * stage is checkpointed + resumable.
+    */
+  def run(images: DataFrame, cfg: GraftConfig, audit: Option[Audit] = None,
+          groupCol: Option[String] = None): Result = {
+    val spark = images.sparkSession
+    import spark.implicits._
+
+    // Stage materialization: with an Audit, stages persist to parquet (the
+    // resumable checkpoint). Without one, stages are still pinned with
+    // persist() so downstream stages and repeated actions never recompute
+    // the candidate-join DAG.
+    def staged(name: String)(f: => DataFrame): DataFrame =
+      audit.map(_.stage(name)(f)).getOrElse {
+        val d = f.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        d.count()
+        d
+      }
+
+    val fpsDf = staged("fingerprints") {
+      Fingerprints.compute(images, cfg, groupCol).toDF()
+    }
+    val fps = fpsDf.as[FingerprintRow]
+
+    val edges = staged("edges") {
+      Candidates.allCandidates(fps, cfg)
+    }
+
+    val clusters = staged("clusters") {
+      val (labels, iters) = Clustering.connectedComponents(
+        fps.toDF().select("image_id"), edges)
+      audit.foreach(_.log("cc_iterations", iters.toLong, 0L, committed = false,
+        detail = s"label propagation converged in $iters rounds"))
+      labels
+    }
+
+    val stats = staged("cluster_stats") {
+      Clustering.clusterStats(clusters, fpsDf)
+    }
+
+    val iters = audit.flatMap { a =>
+      scala.util.Try(a.auditRows().filter(col("stage") === "cc_iterations")
+        .agg(max("rows_out")).head().getLong(0).toInt).toOption
+    }.getOrElse(-1)
+
+    Result(fps, edges, clusters, stats, iters)
+  }
+
+  /** Multi-member duplicate clusters only (the reference reports clone SETS,
+    * /root/reference/CloneSet.cpp:170-328; singletons are not clones).
+    */
+  def dupClusters(clusters: DataFrame): DataFrame = {
+    val sizes = clusters.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+    clusters.join(sizes.filter(col("cluster_size") > 1), "cluster_id")
+      .select("image_id", "cluster_id", "cluster_size")
+  }
+}

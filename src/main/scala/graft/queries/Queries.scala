@@ -1,0 +1,397 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.{GraftConfig, MinHashCore, Murmur3x64, SimHashCore}
+import graft.model.FingerprintRow
+import graft.pipeline.{Candidates, Clustering, DedupPipeline, Fingerprints}
+
+/** The operator inventory exposed through SparkEntry (SURVEY.md §2 +
+  * training-data-pipeline ops). Every SQL-expressible operator has a DuckDB
+  * oracle in [[Queries.oracleSql]] with identical column names, rounding,
+  * and ORDER BY; hash/LSH operators (murmur-based — not expressible in
+  * DuckDB) are rows-only checked and instead verified by scalatest against
+  * the sequential oracle.
+  *
+  * Float-parity policy for the DuckDB compare: big aggregates are summed as
+  * integer cents/micros (exact in both engines, immune to summation order);
+  * ratios/norms are per-row double math rounded to 6 dp.
+  */
+object Queries {
+
+  import TextOps._
+
+  /** Documents corpus presented in the image-pipeline's input shape so the
+    * dedup pipeline runs unchanged on text: caption := text, phash := 0
+    * (payload-fusion disabled via weight PHASH=0 — text has no pixels).
+    */
+  private def docsAsImages(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir).select(
+      col("doc_id").cast("string").as("image_id"),
+      col("text").as("caption"),
+      lit(0L).as("phash"))
+
+  /** Text-mode config: phash tokens weighted 0 (no payload), word-3-gram
+    * shingles, sigma wide enough for 1-2 word edits on ~40-word docs.
+    */
+  val docCfg: GraftConfig = GraftConfig(
+    shingleK = 3,
+    weights = GraftConfig.defaultWeights + ("PHASH" -> 0),
+    minSpan = 12,
+    sigmaHigh = 3,
+    jaccardTau = 0.5)
+
+  // ---------------------------------------------------------------- queries
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- relational core (scan/filter/agg/join/window/set ops) ---
+    "q1_agg" -> ((s, dir) => {
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(col("l_quantity").cast("bigint")).as("sum_qty"),
+          sum(round(col("l_extendedprice") * 100).cast("bigint")).as("sum_price_cents"),
+          sum(round(col("l_discount") * 1000000).cast("bigint")).as("sum_disc_micros"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+    "q2_join" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      val o = s.read.parquet(s"$dir/orders.parquet")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+          sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100).cast("bigint"))
+            .as("revenue_cents"),
+          countDistinct("o_orderkey").as("n_orders"))
+        .orderBy("o_orderpriority")
+    }),
+    "q3_window" -> ((s, dir) => {
+      val o = s.read.parquet(s"$dir/orders.parquet")
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      o.withColumn("rk", row_number().over(w).cast("bigint"))
+        .filter(col("rk") <= 2)
+        .select(col("o_custkey"), col("o_orderkey"), col("rk"))
+        .orderBy("o_custkey", "rk")
+    }),
+    "q4_semi_anti" -> ((s, dir) => {
+      val c = s.read.parquet(s"$dir/customer.parquet")
+      val o = s.read.parquet(s"$dir/orders.parquet")
+      val withOrders = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("n_with_orders"))
+      val withoutOrders = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("n_without_orders"))
+      withOrders.join(withoutOrders, Seq("c_mktsegment"), "full_outer")
+        .na.fill(0L, Seq("n_with_orders", "n_without_orders"))
+        .orderBy("c_mktsegment")
+    }),
+    "q5_events_daily" -> ((s, dir) => {
+      s.read.parquet(s"$dir/events.parquet")
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value") * 100).cast("bigint")).as("sum_value_cents"))
+        .orderBy("day", "event_type")
+    }),
+    "q6_join_dims" -> ((s, dir) => {
+      // broadcast-shaped dimension chain: nation ⋈ region are tiny
+      val c = s.read.parquet(s"$dir/customer.parquet")
+      val n = s.read.parquet(s"$dir/nation.parquet")
+      val r = s.read.parquet(s"$dir/region.parquet")
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_customers"),
+          sum(round(col("c_acctbal") * 100).cast("bigint")).as("acctbal_cents"))
+        .orderBy("r_name", "n_name")
+    }),
+
+    // --- dedup: exact (hash-groupBy) ---
+    "dedup_exact" -> ((s, dir) => {
+      documents(s, dir)
+        .groupBy(md5(col("text")).as("fp"))
+        .agg(count(lit(1)).as("n_copies"), min("doc_id").as("canonical_doc_id"))
+        .orderBy("fp")
+    }),
+    "dedup_exact_hist" -> ((s, dir) => {
+      documents(s, dir)
+        .groupBy(md5(col("text")).as("fp")).agg(count(lit(1)).as("sz"))
+        .groupBy(col("sz").as("group_size")).agg(count(lit(1)).as("n_groups"))
+        .orderBy("group_size")
+    }),
+
+    // --- dedup: exact n-gram Jaccard (SQL-checkable verification path) ---
+    "dedup_ngram_jaccard" -> ((s, dir) => {
+      ngramJaccardPairs(documents(s, dir), n = 3, tau = 0.5)
+        .orderBy("da", "db")
+    }),
+    "dedup_pair_degree" -> ((s, dir) => {
+      val pairs = ngramJaccardPairs(documents(s, dir), n = 3, tau = 0.5)
+      pairs.select(col("da").as("doc_id"))
+        .unionByName(pairs.select(col("db").as("doc_id")))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_dup_partners"))
+        .orderBy("doc_id")
+    }),
+
+    // --- dedup: SimHash (murmur-based; rows-only vs DuckDB, oracle-tested) ---
+    "dedup_simhash" -> ((s, dir) => {
+      Fingerprints.compute(docsAsImages(s, dir), docCfg).toDF()
+        .select(col("image_id").cast("long").as("doc_id"), col("simhash"), col("span"))
+        .orderBy("doc_id")
+    }),
+    "dedup_simhash_pairs" -> ((s, dir) => {
+      val fps = Fingerprints.compute(docsAsImages(s, dir), docCfg)
+      Candidates.simhashPairs(fps, docCfg, docCfg.sigmaHigh)
+        .select(col("a").cast("long").as("a"), col("b").cast("long").as("b"))
+        .orderBy("a", "b")
+    }),
+    "dedup_minhash_lsh" -> ((s, dir) => {
+      val fps = Fingerprints.compute(docsAsImages(s, dir), docCfg)
+      Candidates.bandPairs(fps, docCfg)
+        .select(col("a").cast("long").as("a"), col("b").cast("long").as("b"))
+        .orderBy("a", "b")
+    }),
+    "dedup_clusters" -> ((s, dir) => {
+      val res = DedupPipeline.run(docsAsImages(s, dir), docCfg)
+      res.clusters
+        .select(col("image_id").cast("long").as("doc_id"), col("cluster_id"))
+        .orderBy("doc_id")
+    }),
+    "grouped_simhash" -> ((s, dir) => {
+      // file-based fingerprint mode analogue (G6): one simhash per source
+      Fingerprints.groupedSimhash(
+        documents(s, dir).select(col("source"), col("text").as("caption"), lit(0L).as("phash")),
+        "source", docCfg)
+        .withColumnRenamed("key", "source")
+        .orderBy("source")
+    }),
+
+    // --- text analysis ---
+    "text_tokens" -> ((s, dir) => {
+      documents(s, dir).select(
+          col("doc_id"),
+          size(split(col("text"), " ")).cast("bigint").as("n_tokens"),
+          length(col("text")).cast("bigint").as("n_chars_m"),
+          round(length(regexp_replace(col("text"), " ", "")) /
+            size(split(col("text"), " ")), 6).as("avg_token_len"))
+        .orderBy("doc_id")
+    }),
+    "text_quality" -> ((s, dir) => {
+      val t = split(col("text"), " ")
+      val stop = array(Seq("the", "a", "of", "in", "and", "with").map(lit): _*)
+      documents(s, dir).select(
+          col("doc_id"),
+          round(size(array_distinct(t)) / size(t).cast("double"), 6).as("ttr"),
+          round(size(array_intersect(array_distinct(t), stop)) / size(t).cast("double"), 6)
+            .as("stopword_ratio"),
+          (size(t) >= 5 && size(t) <= 200).as("len_ok"))
+        .orderBy("doc_id")
+    }),
+    "text_langid" -> ((s, dir) => {
+      val t = array_distinct(split(col("text"), " "))
+      val en = array(Seq("the", "a", "of", "in", "and", "with").map(lit): _*)
+      val hits = size(array_intersect(t, en))
+      documents(s, dir).select(
+          col("doc_id"),
+          when(hits >= 2, lit("en")).otherwise(lit("und")).as("lang_guess"),
+          hits.cast("bigint").as("en_hits"))
+        .orderBy("doc_id")
+    }),
+    "text_fingerprint" -> ((s, dir) => {
+      documents(s, dir).select(
+          col("doc_id"),
+          md5(lower(col("text"))).as("fp"),
+          substring(md5(lower(col("text"))), 1, 8).as("fp8"))
+        .orderBy("doc_id")
+    }),
+    "text_token_census" -> ((s, dir) => {
+      documents(s, dir)
+        .select(explode(split(col("text"), " ")).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("word"))
+    }),
+
+    // --- corpus stats (cluster-stats/histogram shapes, SURVEY §2.5 A2/A3) ---
+    "corpus_source_stats" -> ((s, dir) => {
+      documents(s, dir).groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          min("n_chars").as("min_chars"), max("n_chars").as("max_chars"),
+          sum("n_chars").as("total_chars"))
+        .orderBy("source")
+    }),
+    "corpus_len_hist" -> ((s, dir) => {
+      documents(s, dir)
+        .groupBy((floor(col("n_chars") / 50) * 50).cast("bigint").as("len_bucket"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("len_bucket")
+    }),
+
+    // --- similarity search over embeddings ---
+    "sim_cosine_topk" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      val norm = sqrt(aggregate(col("embedding"), lit(0.0),
+        (acc, x) => acc + x.cast("double") * x.cast("double")))
+      val withNorm = e.select(col("vec_id"), col("embedding"), norm.as("nrm"))
+      val q = withNorm.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"))
+      val dot = aggregate(
+        zip_with(col("qe"), col("embedding"), (a, b) => a.cast("double") * b.cast("double")),
+        lit(0.0), (acc, x) => acc + x)
+      val sims = q.crossJoin(withNorm)
+        .filter(col("qid") =!= col("vec_id"))
+        .select(col("qid"), col("vec_id").as("cid"),
+          round(dot / (col("qn") * col("nrm")), 6).as("sim"))
+      val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("cid").asc)
+      sims.withColumn("rk", row_number().over(w).cast("bigint"))
+        .filter(col("rk") <= 5)
+        .orderBy("qid", "rk")
+    }),
+    "emb_norms" -> ((s, dir) => {
+      val norm = sqrt(aggregate(col("embedding"), lit(0.0),
+        (acc, x) => acc + x.cast("double") * x.cast("double")))
+      embeddings(s, dir).select(
+          col("vec_id"), size(col("embedding")).cast("bigint").as("dim"), round(norm, 6).as("l2"))
+        .orderBy("vec_id")
+    }),
+    "sim_ann_lsh" -> ((s, dir) => {
+      SimilarityOps.annLsh(embeddings(s, dir), nPlanes = 12, topK = 5)
+        .orderBy("qid", "rk")
+    })
+  )
+
+  // ------------------------------------------------------------- oracle SQL
+
+  val oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents,
+        |  CAST(sum(CAST(round(l_discount * 1000000) AS BIGINT)) AS BIGINT) AS sum_disc_micros,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q2_join" ->
+      """SELECT o_orderpriority,
+        |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+        |  count(DISTINCT o_orderkey) AS n_orders
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q3_window" ->
+      """SELECT o_custkey, o_orderkey, rk FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+        |  FROM orders) WHERE rk <= 2 ORDER BY o_custkey, rk""".stripMargin,
+    "q4_semi_anti" ->
+      """SELECT c_mktsegment,
+        |  count(*) FILTER (WHERE has_o) AS n_with_orders,
+        |  count(*) FILTER (WHERE NOT has_o) AS n_without_orders
+        |FROM (SELECT c_mktsegment,
+        |        EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) AS has_o
+        |      FROM customer)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q5_events_daily" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, count(*) AS n,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q6_join_dims" ->
+      """SELECT r_name, n_name, count(*) AS n_customers,
+        |  CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS acctbal_cents
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "dedup_exact" ->
+      """SELECT md5(text) AS fp, count(*) AS n_copies, min(doc_id) AS canonical_doc_id
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "dedup_exact_hist" ->
+      """SELECT sz AS group_size, count(*) AS n_groups FROM (
+        |  SELECT md5(text) AS fp, count(*) AS sz FROM documents GROUP BY 1)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "dedup_ngram_jaccard" -> jaccardSql(
+      "SELECT da, db, j FROM jpairs WHERE j >= 0.5 ORDER BY da, db"),
+    "dedup_pair_degree" -> jaccardSql(
+      """SELECT doc_id, count(*) AS n_dup_partners FROM (
+        |  SELECT da AS doc_id FROM jpairs WHERE j >= 0.5
+        |  UNION ALL SELECT db FROM jpairs WHERE j >= 0.5)
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+    "text_tokens" ->
+      """SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+        |  length(text) AS n_chars_m,
+        |  round(length(replace(text, ' ', '')) * 1.0 / len(string_split(text, ' ')), 6)
+        |    AS avg_token_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_quality" ->
+      """SELECT doc_id,
+        |  round(len(list_distinct(string_split(text, ' '))) * 1.0
+        |        / len(string_split(text, ' ')), 6) AS ttr,
+        |  round(len(list_intersect(list_distinct(string_split(text, ' ')),
+        |        ['the','a','of','in','and','with'])) * 1.0
+        |        / len(string_split(text, ' ')), 6) AS stopword_ratio,
+        |  len(string_split(text, ' ')) BETWEEN 5 AND 200 AS len_ok
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_langid" ->
+      """SELECT doc_id,
+        |  CASE WHEN hits >= 2 THEN 'en' ELSE 'und' END AS lang_guess,
+        |  hits AS en_hits
+        |FROM (SELECT doc_id,
+        |        len(list_intersect(list_distinct(string_split(text, ' ')),
+        |            ['the','a','of','in','and','with'])) AS hits
+        |      FROM documents) ORDER BY doc_id""".stripMargin,
+    "text_fingerprint" ->
+      """SELECT doc_id, md5(lower(text)) AS fp, substr(md5(lower(text)), 1, 8) AS fp8
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_token_census" ->
+      """SELECT word, count(*) AS n FROM (
+        |  SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |GROUP BY 1 ORDER BY n DESC, word""".stripMargin,
+    "corpus_source_stats" ->
+      """SELECT source, count(*) AS n_docs, min(n_chars) AS min_chars,
+        |  max(n_chars) AS max_chars, CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "corpus_len_hist" ->
+      """SELECT CAST(floor(n_chars / 50) * 50 AS BIGINT) AS len_bucket, count(*) AS n
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "sim_cosine_topk" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt(list_sum(list_transform(embedding,
+        |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        |  FROM embeddings),
+        |sims AS (
+        |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+        |    round(list_sum(list_transform(list_zip(q.embedding, c.embedding),
+        |          x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |          / (q.nrm * c.nrm), 6) AS sim
+        |  FROM e q JOIN e c ON q.vec_id % 50 = 0 AND q.vec_id <> c.vec_id)
+        |SELECT qid, cid, sim, rk FROM (
+        |  SELECT qid, cid, sim,
+        |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid ASC) AS rk
+        |  FROM sims) WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
+    "emb_norms" ->
+      """SELECT vec_id, len(embedding) AS dim,
+        |  round(sqrt(list_sum(list_transform(embedding,
+        |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2
+        |FROM embeddings ORDER BY vec_id""".stripMargin
+  )
+
+  /** Shared word-3-gram Jaccard CTE for DuckDB — mirrors
+    * [[TextOps.ngramJaccardPairs]] exactly (same grams, same |A∪B| math,
+    * same 6-dp rounding BEFORE the tau comparison).
+    */
+  private def jaccardSql(select: String): String =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |grams AS (
+      |  SELECT DISTINCT doc_id, gram FROM (
+      |    SELECT doc_id, array_to_string(ws[p:p+2], ' ') AS gram
+      |    FROM toks, unnest(generate_series(1, greatest(1, len(ws) - 2))) AS t(p))),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY 1),
+      |jpairs AS (
+      |  SELECT a.doc_id AS da, b.doc_id AS db,
+      |    round(count(*) * 1.0 / (sa.n + sb.n - count(*)), 6) AS j
+      |  FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      |  JOIN sizes sa ON a.doc_id = sa.doc_id
+      |  JOIN sizes sb ON b.doc_id = sb.doc_id
+      |  GROUP BY 1, 2, sa.n, sb.n)
+      |""".stripMargin + select
+}
