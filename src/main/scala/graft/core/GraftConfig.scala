@@ -54,6 +54,7 @@ final case class GraftConfig(
     jaccardTau: Double = 0.35,
     nBlocks: Int = 4,
     hotBucketCap: Int = 2000,
+    substringPass: Boolean = true,
     seed: Long = 42L
 ) {
   require(nBlocks > sigmaHigh, "pigeonhole completeness needs nBlocks > sigmaHigh")

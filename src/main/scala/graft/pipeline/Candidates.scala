@@ -70,10 +70,14 @@ object Candidates {
   def bucketSelfJoin(keyed: DataFrame, keyCols: Seq[String], cap: Int,
                      nSalts: Int = 8): DataFrame = {
     val key = keyCols.map(col)
-    val sizes = keyed.groupBy(key: _*).agg(count(lit(1)).as("bucket_n"))
-    // Materialize once: reused by the cold and hot branches (and cuts the
-    // analysis cost of re-planning the upstream fingerprint DAG per branch).
-    val tagged = keyed.join(sizes, keyCols).localCheckpoint()
+    // Hot-key detection: aggregate to bucket counts, keep only the hot keys.
+    // Hot buckets are rare by construction (cap is far above the expected
+    // bucket size), so this set is tiny and broadcastable — the full-size
+    // table is never re-shuffled against its own counts.
+    val hotKeys = keyed.groupBy(key: _*).agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") > cap)
+      .select((key :+ lit(true).as("is_hot")): _*)
+    val tagged = keyed.join(broadcast(hotKeys), keyCols, "left")
 
     def prefixed(d: DataFrame, p: String): DataFrame =
       d.columns.foldLeft(d)((acc, c) => acc.withColumnRenamed(c, p + c))
@@ -86,8 +90,8 @@ object Candidates {
       lp.join(rp, cond && col("l_image_id") < col("r_image_id"))
     }
 
-    val cold = tagged.filter(col("bucket_n") <= cap).drop("bucket_n")
-    val hot = tagged.filter(col("bucket_n") > cap).drop("bucket_n")
+    val cold = tagged.filter(col("is_hot").isNull).drop("is_hot")
+    val hot = tagged.filter(col("is_hot").isNotNull).drop("is_hot")
     val hotL = hot.withColumn("salt", pmod(xxhash64(col("image_id")), lit(nSalts)).cast("int"))
     val hotR = hot.withColumn("salt", explode(array((0 until nSalts).map(lit): _*)))
 
@@ -125,22 +129,29 @@ object Candidates {
     }
   }
 
-  /** MinHash band candidate pairs, verified by exact Jaccard >= tau over the
-    * distinct gram-hash arrays (both sides already sorted + distinct).
+  /** MinHash band candidate pairs, verified by exact Jaccard >= tau.
+    *
+    * Candidate generation is KEY-ONLY: the bucket self-join shuffles just
+    * (image_id, bandIdx, bandHash) rows — the gram arrays (the heavy
+    * payload) are joined back onto the deduplicated pair list afterwards,
+    * so at 10^12 scale the wide data crosses the wire once per verified
+    * candidate instead of once per band replica.
     */
   def bandPairs(fps: Dataset[FingerprintRow], cfg: GraftConfig): DataFrame = {
     val keyed = fps.toDF()
-      .select(col("image_id"), col("grams"), col("span"), col("group"),
+      .select(col("image_id"),
         posexplode(bandHashCol(cfg)).as(Seq("bandIdx", "bandHash")))
-    val raw = bucketSelfJoin(
-      keyed.select("image_id", "grams", "bandIdx", "bandHash"),
-      Seq("bandIdx", "bandHash"), cfg.hotBucketCap)
-    raw
-      .withColumn("inter", size(array_intersect(col("l_grams"), col("r_grams"))))
-      .withColumn("uni", size(col("l_grams")) + size(col("r_grams")) - col("inter"))
-      .filter(col("uni") > 0 && col("inter") >= col("uni") * cfg.jaccardTau)
+    val cand = bucketSelfJoin(keyed, Seq("bandIdx", "bandHash"), cfg.hotBucketCap)
       .select(col("l_image_id").as("a"), col("r_image_id").as("b"))
-      .dropDuplicates("a", "b")
+      .dropDuplicates("a", "b") // same pair may collide in several bands
+    val grams = fps.toDF().select(col("image_id"), col("grams"))
+    cand
+      .join(grams.select(col("image_id").as("a"), col("grams").as("a_grams")), "a")
+      .join(grams.select(col("image_id").as("b"), col("grams").as("b_grams")), "b")
+      .withColumn("inter", size(array_intersect(col("a_grams"), col("b_grams"))))
+      .withColumn("uni", size(col("a_grams")) + size(col("b_grams")) - col("inter"))
+      .filter(col("uni") > 0 && col("inter") >= col("uni") * cfg.jaccardTau)
+      .select("a", "b")
   }
 
   /** Band hashes as a column: computed from the minhash signature array with

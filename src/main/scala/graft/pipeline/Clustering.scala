@@ -39,8 +39,10 @@ object Clustering {
       .repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    var labels = vertices
-      .select(col("image_id"), xxhash64(col("image_id")).as("vid"))
+    // Only vertices incident to an edge participate in propagation; the
+    // (overwhelmingly more numerous, at production dup rates) singletons
+    // keep their own label and never enter the loop.
+    var labels = sym.select(col("src").as("vid")).distinct()
       .withColumn("label", col("vid"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     labels.count()
@@ -56,7 +58,7 @@ object Clustering {
       val next = labels
         .join(neighborMin, Seq("vid"), "left")
         .withColumn("newLabel", least(col("label"), coalesce(col("nmin"), col("label"))))
-        .select(col("image_id"), col("vid"), col("newLabel").as("label"))
+        .select(col("vid"), col("newLabel").as("label"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       val changed = next.join(labels.select(col("vid"), col("label").as("old")), "vid")
         .filter(col("label") < col("old")).count()
@@ -68,7 +70,13 @@ object Clustering {
       iter += 1
     }
     sym.unpersist(false)
-    (labels.select("image_id", "label").withColumnRenamed("label", "cluster_id"), iter)
+    // Re-attach: every input vertex gets a label; non-edge vertices label
+    // themselves (singleton clusters).
+    val out = vertices
+      .select(col("image_id"), xxhash64(col("image_id")).as("vid"))
+      .join(labels.select(col("vid"), col("label")), Seq("vid"), "left")
+      .select(col("image_id"), coalesce(col("label"), col("vid")).as("cluster_id"))
+    (out, iter)
   }
 
   /** Cluster statistics (SURVEY.md §2.5 A2): per-cluster member count and

@@ -65,7 +65,18 @@ object DedupPipeline {
     val fps = fpsDf.as[FingerprintRow]
 
     val edges = staged("edges") {
-      Candidates.allCandidates(fps, cfg)
+      val base = Candidates.allCandidates(fps, cfg)
+      if (cfg.substringPass) {
+        // J5: exact word-aligned caption-substring pairs (anchor-gram join)
+        val normUdf = udf((s: String) => graft.core.Shingling.normalize(s))
+        val rows = images
+          .select(col("image_id"), normUdf(col("caption")).as("caption_norm"))
+          .withColumn("span", length(col("caption_norm")))
+        base
+          .unionByName(Substring.substringPairs(rows, cfg)
+            .withColumn("source", lit("substring")))
+          .groupBy("a", "b").agg(min("source").as("source"))
+      } else base
     }
 
     val clusters = staged("clusters") {

@@ -159,6 +159,16 @@ object Queries {
         .select(col("image_id").cast("long").as("doc_id"), col("cluster_id"))
         .orderBy("doc_id")
     }),
+    "dedup_substring" -> ((s, dir) => {
+      // J5 over raw document text (SQL-oracle parity: no normalization step)
+      val rows = documents(s, dir).select(
+        col("doc_id").cast("string").as("image_id"),
+        col("text").as("caption_norm"),
+        length(col("text")).as("span"))
+      graft.pipeline.Substring.substringPairs(rows, docCfg)
+        .select(col("a").cast("long").as("a"), col("b").cast("long").as("b"))
+        .orderBy("a", "b")
+    }),
     "grouped_simhash" -> ((s, dir) => {
       // file-based fingerprint mode analogue (G6): one simhash per source
       Fingerprints.groupedSimhash(
@@ -315,6 +325,15 @@ object Queries {
         |  SELECT da AS doc_id FROM jpairs WHERE j >= 0.5
         |  UNION ALL SELECT db FROM jpairs WHERE j >= 0.5)
         |GROUP BY 1 ORDER BY 1""".stripMargin),
+    "dedup_substring" ->
+      """SELECT a.doc_id AS a, b.doc_id AS b
+        |FROM documents a, documents b
+        |WHERE a.doc_id <> b.doc_id
+        |  AND length(a.text) > 12 AND length(a.text) < length(b.text)
+        |  AND (starts_with(b.text, a.text || ' ')
+        |       OR contains(b.text, ' ' || a.text || ' ')
+        |       OR ends_with(b.text, ' ' || a.text))
+        |ORDER BY a, b""".stripMargin,
     "text_tokens" ->
       """SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
         |  length(text) AS n_chars_m,

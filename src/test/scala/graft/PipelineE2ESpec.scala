@@ -97,6 +97,18 @@ class PipelineE2ESpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("substring families are detected by the J5 pass") {
+    val truth = corpus._2.collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    val fams = truth.filter(_._3 == "substring").groupBy(_._2)
+    assert(fams.nonEmpty)
+    val detected = fams.count { case (_, members) =>
+      members.flatMap(m => predictedLabels.get(m._1)).toSet.size == 1
+    }
+    val rate = detected.toDouble / fams.size
+    info(s"substring: $detected/${fams.size} families co-clustered (rate $rate)")
+    assert(rate >= 0.9, s"substring detection rate $rate")
+  }
+
   test("hot-key mega-bucket rows cluster together (skew/salting path)") {
     val truth = corpus._2.collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
     val hot = truth.filter(_._3 == "hot_key").map(_._1)
