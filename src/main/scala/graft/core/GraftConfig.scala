@@ -53,7 +53,7 @@ final case class GraftConfig(
     rowsPerBand: Int = 2,
     jaccardTau: Double = 0.35,
     nBlocks: Int = 4,
-    hotBucketCap: Int = 2000,
+    hotBucketCap: Int = 500,
     substringPass: Boolean = true,
     seed: Long = 42L
 ) {

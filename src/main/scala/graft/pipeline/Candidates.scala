@@ -100,6 +100,30 @@ object Candidates {
       .unionByName(dropCols(pairs(hotL, hotR, Seq("salt"))))
   }
 
+  /** Exact-identity collapse before a pair join: rows whose `keyCol` value
+    * is identical are mutual duplicates BY CONSTRUCTION under the pass's
+    * verify predicate (identical gram set → Jaccard 1; identical
+    * simhash+span → Hamming 0 and span-compatible), so only one
+    * representative (min image_id) enters the quadratic candidate join and
+    * the rest attach via linear star edges. This is what keeps a mega-group
+    * (e.g. millions of rows sharing one caption at 10^12 scale) LINEAR
+    * instead of |group|² — salting only redistributes a clique, collapse
+    * removes it. CC over star edges yields exactly the same components as
+    * the clique would.
+    *
+    * @return (representatives, starEdges(a=rep, b=member))
+    */
+  def collapseExact(fps: DataFrame, keyCol: Column): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("ckey")
+    val tagged = fps.withColumn("ckey", keyCol)
+      .withColumn("rep_id", min("image_id").over(w))
+    val reps = tagged.filter(col("image_id") === col("rep_id")).drop("ckey", "rep_id")
+    val star = tagged.filter(col("image_id") =!= col("rep_id"))
+      .select(col("rep_id").as("a"), col("image_id").as("b"))
+    (reps, star)
+  }
+
   /** SimHash bit-block candidate pairs, verified to Hamming <= sigma with
     * the span prefilter and optional same/diff-group modes
     * (/root/reference/SimHasher.cpp:91-122) in the join output filter.
@@ -113,19 +137,31 @@ object Candidates {
           org.apache.spark.sql.types.StructField("a", org.apache.spark.sql.types.StringType),
           org.apache.spark.sql.types.StructField("b", org.apache.spark.sql.types.StringType))))
     } else {
-      val keyed = blockView(fps.toDF(), cfg.nBlocks)
+      // collapse rows with identical (simhash, span, group) — d=0 and
+      // span-compatible by construction — unless a group compare mode needs
+      // per-row group checks
+      val groupMode = onlyDiffGroup || onlySameGroup
+      val (base, star) =
+        if (groupMode) (fps.toDF(), None)
+        else {
+          val (r, s) = collapseExact(fps.toDF(),
+            xxhash64(col("simhash"), col("span"), col("group")))
+          (r, Some(s))
+        }
+      val keyed = blockView(base, cfg.nBlocks)
       val raw = bucketSelfJoin(keyed, Seq("blockIdx", "blockVal"), cfg.hotBucketCap)
       val groupCond: Column =
         if (onlyDiffGroup) col("l_group") =!= col("r_group")
         else if (onlySameGroup) col("l_group") === col("r_group")
         else lit(true)
-      raw
+      val joined = raw
         .filter(
           bit_count(col("l_simhash").bitwiseXOR(col("r_simhash"))) <= lit(sigma) &&
           abs(col("l_span") - col("r_span")) <= least(col("l_span"), col("r_span")) * cfg.spanRatio &&
           groupCond)
         .select(col("l_image_id").as("a"), col("r_image_id").as("b"))
         .dropDuplicates("a", "b") // same pair can match in several blocks
+      star.map(joined.unionByName(_)).getOrElse(joined)
     }
   }
 
@@ -138,13 +174,16 @@ object Candidates {
     * candidate instead of once per band replica.
     */
   def bandPairs(fps: Dataset[FingerprintRow], cfg: GraftConfig): DataFrame = {
-    val keyed = fps.toDF()
+    // collapse identical gram sets (Jaccard 1 by construction) to one
+    // representative each — a mega-group of equal captions costs O(|group|)
+    val (reps, star) = collapseExact(fps.toDF(), xxhash64(col("grams")))
+    val keyed = reps
       .select(col("image_id"),
         posexplode(bandHashCol(cfg)).as(Seq("bandIdx", "bandHash")))
     val cand = bucketSelfJoin(keyed, Seq("bandIdx", "bandHash"), cfg.hotBucketCap)
       .select(col("l_image_id").as("a"), col("r_image_id").as("b"))
       .dropDuplicates("a", "b") // same pair may collide in several bands
-    val grams = fps.toDF().select(col("image_id"), col("grams"))
+    val grams = reps.select(col("image_id"), col("grams"))
     cand
       .join(grams.select(col("image_id").as("a"), col("grams").as("a_grams")), "a")
       .join(grams.select(col("image_id").as("b"), col("grams").as("b_grams")), "b")
@@ -152,6 +191,7 @@ object Candidates {
       .withColumn("uni", size(col("a_grams")) + size(col("b_grams")) - col("inter"))
       .filter(col("uni") > 0 && col("inter") >= col("uni") * cfg.jaccardTau)
       .select("a", "b")
+      .unionByName(star)
   }
 
   /** Band hashes as a column: computed from the minhash signature array with

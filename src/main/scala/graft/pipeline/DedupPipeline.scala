@@ -32,6 +32,15 @@ object DedupPipeline {
     valid.filter(col("image_id").isNotNull && col("caption").isNotNull)
   }
 
+  /** Row-level resume filter (SURVEY.md §2.2 F2): drop rows whose ids are
+    * already in the committed output — the analogue of the reference's
+    * file-mask skip (/root/reference/Main.cpp:199-204). Left-anti join; at
+    * scale Catalyst plans it as a broadcast or shuffled anti join depending
+    * on the committed side's size.
+    */
+  def resumeFilter(images: DataFrame, doneIds: DataFrame): DataFrame =
+    images.join(doneIds.select(col("image_id")).distinct(), Seq("image_id"), "left_anti")
+
   final case class Result(
       fingerprints: Dataset[FingerprintRow],
       edges: DataFrame,     // (a, b, source)
@@ -48,16 +57,16 @@ object DedupPipeline {
     val spark = images.sparkSession
     import spark.implicits._
 
-    // Stage materialization: with an Audit, stages persist to parquet (the
-    // resumable checkpoint). Without one, stages are still pinned with
-    // persist() so downstream stages and repeated actions never recompute
-    // the candidate-join DAG.
+    // Stage materialization: with an Audit, stages write to parquet (the
+    // resumable checkpoint — which also truncates lineage). Without one,
+    // stages are eagerly localCheckpoint'ed: this both pins the data
+    // (no recompute across downstream actions) and REPLACES the logical
+    // plan with a scan of the checkpointed RDD — essential, because the
+    // candidate generators reference each stage several times (cold/hot
+    // branches, collapse star, two LSH paths) and nesting the full upstream
+    // DAG into every branch makes Catalyst analysis time explode.
     def staged(name: String)(f: => DataFrame): DataFrame =
-      audit.map(_.stage(name)(f)).getOrElse {
-        val d = f.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        d.count()
-        d
-      }
+      audit.map(_.stage(name)(f)).getOrElse(f.localCheckpoint(true))
 
     val fpsDf = staged("fingerprints") {
       Fingerprints.compute(images, cfg, groupCol).toDF()

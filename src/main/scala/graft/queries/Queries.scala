@@ -159,6 +159,35 @@ object Queries {
         .select(col("image_id").cast("long").as("doc_id"), col("cluster_id"))
         .orderBy("doc_id")
     }),
+    "dedup_embcos" -> ((s, dir) => {
+      // embedding-cosine near-dup: exact verification pass (the LSH-bucketed
+      // scale path is sim_ann_lsh; this exact form is the SQL-checkable
+      // oracle twin, same candidates→verify contract)
+      val e = embeddings(s, dir)
+      val norm = sqrt(aggregate(col("embedding"), lit(0.0),
+        (acc, x) => acc + x.cast("double") * x.cast("double")))
+      val withNorm = e.select(col("vec_id"), col("embedding"), norm.as("nrm"))
+      val l = withNorm.select(col("vec_id").as("a"), col("embedding").as("ae"), col("nrm").as("an"))
+      val r = withNorm.select(col("vec_id").as("b"), col("embedding").as("be"), col("nrm").as("bn"))
+      val dot = aggregate(
+        zip_with(col("ae"), col("be"), (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, x) => acc + x)
+      l.join(r, col("a") < col("b"))
+        .select(col("a"), col("b"), round(dot / (col("an") * col("bn")), 6).as("cos"))
+        .filter(col("cos") >= 0.45)
+        .orderBy("a", "b")
+    }),
+    "dedup_simhash_pairs_diffgroup" -> ((s, dir) => {
+      // F6 compare mode: only cross-source pairs (reference -onlydiffF)
+      val fps = Fingerprints.compute(
+        documents(s, dir).select(
+          col("doc_id").cast("string").as("image_id"),
+          col("text").as("caption"), lit(0L).as("phash"), col("source")),
+        docCfg, groupCol = Some("source"))
+      Candidates.simhashPairs(fps, docCfg, docCfg.sigmaHigh, onlyDiffGroup = true)
+        .select(col("a").cast("long").as("a"), col("b").cast("long").as("b"))
+        .orderBy("a", "b")
+    }),
     "dedup_substring" -> ((s, dir) => {
       // J5 over raw document text (SQL-oracle parity: no normalization step)
       val rows = documents(s, dir).select(
@@ -214,6 +243,25 @@ object Queries {
           col("doc_id"),
           md5(lower(col("text"))).as("fp"),
           substring(md5(lower(col("text"))), 1, 8).as("fp8"))
+        .orderBy("doc_id")
+    }),
+    "text_subtokens" -> ((s, dir) => {
+      // BPE-ish token counting: letter runs | digit runs | other symbols
+      documents(s, dir).select(
+          col("doc_id"),
+          size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+            .cast("bigint").as("n_subtokens"))
+        .orderBy("doc_id")
+    }),
+    "text_rolling_fp" -> ((s, dir) => {
+      // rolling polynomial document fingerprint: acc = (acc*31 + code) mod p
+      documents(s, dir).select(
+          col("doc_id"),
+          aggregate(
+            transform(sequence(lit(1), length(col("text"))),
+              i => ascii(col("text").substr(i, lit(1))).cast("bigint")),
+            lit(0L),
+            (acc, c) => pmod(acc * 31 + c, lit(2147483647L))).as("rfp"))
         .orderBy("doc_id")
     }),
     "text_token_census" -> ((s, dir) => {
@@ -334,6 +382,32 @@ object Queries {
         |       OR contains(b.text, ' ' || a.text || ' ')
         |       OR ends_with(b.text, ' ' || a.text))
         |ORDER BY a, b""".stripMargin,
+    "dedup_embcos" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt(list_sum(list_transform(embedding,
+        |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        |  FROM embeddings)
+        |SELECT a, b, cos FROM (
+        |  SELECT l.vec_id AS a, r.vec_id AS b,
+        |    round(list_sum(list_transform(list_zip(l.embedding, r.embedding),
+        |          x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |          / (l.nrm * r.nrm), 6) AS cos
+        |  FROM e l JOIN e r ON l.vec_id < r.vec_id)
+        |WHERE cos >= 0.45 ORDER BY a, b""".stripMargin,
+    "text_subtokens" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT)
+        |    AS n_subtokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_rolling_fp" ->
+      """SELECT doc_id,
+        |  list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(generate_series(1, length(text)),
+        |        i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))),
+        |    (acc, c) -> (acc * 31 + c) % 2147483647) AS rfp
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "text_tokens" ->
       """SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
         |  length(text) AS n_chars_m,

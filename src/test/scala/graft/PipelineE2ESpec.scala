@@ -167,6 +167,24 @@ class ResumeSpec extends AnyFunSuite {
   }
 }
 
+/** Row-level resume anti-join (F2): already-processed ids are skipped. */
+class ResumeFilterSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("resumeFilter drops exactly the committed ids") {
+    val imgs = Seq(("a", "x", 1L), ("b", "y", 2L), ("c", "z", 3L))
+      .toDF("image_id", "caption", "phash")
+    val done = Seq("b").toDF("image_id")
+    val left = DedupPipeline.resumeFilter(imgs, done)
+      .select("image_id").collect().map(_.getString(0)).toSet
+    assert(left === Set("a", "c"))
+    // idempotent on empty done-set
+    assert(DedupPipeline.resumeFilter(imgs, spark.emptyDataset[String].toDF("image_id"))
+      .count() === 3)
+  }
+}
+
 /** Per-row invariant from BASELINE.json input_hint: decoded-pixel PSNR >=
   * 40 dB for lossy formats, byte equality for lossless, caption equality.
   */
