@@ -70,12 +70,17 @@ object Candidates {
   def bucketSelfJoin(keyed: DataFrame, keyCols: Seq[String], cap: Int,
                      nSalts: Int = 8): DataFrame = {
     val key = keyCols.map(col)
-    // Hot-key detection: aggregate to bucket counts, keep only the hot keys.
-    // Hot buckets are rare by construction (cap is far above the expected
-    // bucket size), so this set is tiny and broadcastable — the full-size
-    // table is never re-shuffled against its own counts.
-    val hotKeys = keyed.groupBy(key: _*).agg(count(lit(1)).as("bucket_n"))
-      .filter(col("bucket_n") > cap)
+    // Hot-key detection on a fixed-fraction SAMPLE: hotness only decides
+    // whether the salting rewrite applies (a performance knob — candidate
+    // exactness is identical either way), so an estimate suffices. A truly
+    // hot bucket (>> cap rows) is caught by the sample with overwhelming
+    // probability; the sampled groupBy shuffles 1/8 of the exploded volume.
+    // The resulting hot-key set is tiny and broadcast — the full table is
+    // never re-shuffled against its own counts.
+    val sampleFrac = 0.125
+    val hotKeys = keyed.sample(withReplacement = false, sampleFrac, seed = 7L)
+      .groupBy(key: _*).agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") > cap * sampleFrac)
       .select((key :+ lit(true).as("is_hot")): _*)
     val tagged = keyed.join(broadcast(hotKeys), keyCols, "left")
 

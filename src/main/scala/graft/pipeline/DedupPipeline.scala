@@ -66,7 +66,13 @@ object DedupPipeline {
     // branches, collapse star, two LSH paths) and nesting the full upstream
     // DAG into every branch makes Catalyst analysis time explode.
     def staged(name: String)(f: => DataFrame): DataFrame =
-      audit.map(_.stage(name)(f)).getOrElse(f.localCheckpoint(true))
+      audit.map(_.stage(name)(f)).getOrElse {
+        val t0 = System.nanoTime()
+        val out = f.localCheckpoint(true)
+        if (sys.props.contains("graft.profile"))
+          println(f"[profile] stage $name: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        out
+      }
 
     val fpsDf = staged("fingerprints") {
       Fingerprints.compute(images, cfg, groupCol).toDF()
