@@ -58,6 +58,36 @@ class PipelineE2ESpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall === 1.0) // by construction, SURVEY.md §7.1.3
   }
 
+  test("pair precision vs planted truth families (documented per SURVEY §7.1.3)") {
+    // fraction of predicted same-cluster pairs whose members were planted in
+    // the same family — CC may merge more than the greedy clique (the north
+    // rule bounds recall, not precision), so this is reported, and gated
+    // only loosely as a regression tripwire.
+    // truth group = family, except hot_key rows: they share one caption
+    // ACROSS families by construction, so they are genuine duplicates of
+    // each other and form a single truth group
+    val famOf = corpus._2.collect().map { r =>
+      r.getString(0) -> (if (r.getString(2) == "hot_key") "HOT" else r.getLong(1).toString)
+    }.toMap
+    var hit = 0L; var total = 0L
+    predictedLabels.toSeq.groupBy(_._2).values.foreach { members =>
+      val ids = members.map(_._1).sorted
+      var i = 0
+      while (i < ids.length) {
+        var j = i + 1
+        while (j < ids.length) {
+          total += 1
+          if (famOf.get(ids(i)) == famOf.get(ids(j))) hit += 1
+          j += 1
+        }
+        i += 1
+      }
+    }
+    val precision = if (total == 0) 1.0 else hit.toDouble / total
+    info(f"predicted same-cluster pairs: $total, family precision: $precision%.4f")
+    assert(precision >= 0.95, f"precision $precision%.4f regressed")
+  }
+
   test("exact-duplicate families always co-cluster") {
     val truth = corpus._2.collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
     val exactFams = truth.filter(_._3 == "exact").groupBy(_._2)
