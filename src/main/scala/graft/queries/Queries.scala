@@ -264,6 +264,17 @@ object Queries {
             (acc, c) => pmod(acc * 31 + c, lit(2147483647L))).as("rfp"))
         .orderBy("doc_id")
     }),
+    "g7_token_sequences" -> ((s, dir) => {
+      // G7 analogue (pre/post-order traversal sequences,
+      // /root/reference/NodeTravesal.cpp:195-239): forward and reverse
+      // token-order sequences of the flat document
+      val t = split(col("text"), " ")
+      documents(s, dir).select(
+          col("doc_id"),
+          concat_ws(" ", t).as("pre_seq"),
+          concat_ws(" ", reverse(t)).as("post_seq"))
+        .orderBy("doc_id")
+    }),
     "text_token_census" -> ((s, dir) => {
       documents(s, dir)
         .select(explode(split(col("text"), " ")).as("word"))
@@ -433,6 +444,11 @@ object Queries {
         |      FROM documents) ORDER BY doc_id""".stripMargin,
     "text_fingerprint" ->
       """SELECT doc_id, md5(lower(text)) AS fp, substr(md5(lower(text)), 1, 8) AS fp8
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "g7_token_sequences" ->
+      """SELECT doc_id,
+        |  array_to_string(string_split(text, ' '), ' ') AS pre_seq,
+        |  array_to_string(list_reverse(string_split(text, ' ')), ' ') AS post_seq
         |FROM documents ORDER BY doc_id""".stripMargin,
     "text_token_census" ->
       """SELECT word, count(*) AS n FROM (
