@@ -81,15 +81,23 @@ object Bench {
     val thr32 = nImages / t32
     val eff = (thr32 / thr8) / 4.0
 
-    def fmt(d: Double): String = f"$d%.3f"
+    // Locale-pinned formatting: the default-locale f interpolator would emit
+    // "45,600" on comma-decimal locales and break the driver's JSON parse.
+    def fmt(d: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
     val qs = results.map { case (k, (v, _)) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2._1).sum
-    println(
+    val json =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
       s""""sf":"$sfDir","pipeline_images":$nImages,"pipeline_rows_out":$rows32,""" +
       s""""images_per_sec_local8":${fmt(thr8)},"images_per_sec_local32":${fmt(thr32)},""" +
       s""""pipeline_sec_local8":${fmt(t8)},"pipeline_sec_local32":${fmt(t32)},""" +
-      s""""scaling_efficiency":${fmt(eff)}}""")
+      s""""scaling_efficiency":${fmt(eff)}}"""
+    println(json)
+    // Also land the line in a file: sbt's logger prefixes stdout with
+    // "[info]", which machine parsers can trip over.
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/bench.json")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json + "\n")
   }
 }

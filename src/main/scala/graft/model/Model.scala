@@ -29,7 +29,9 @@ final case class FingerprintRow(
 
 final case class VerifiedEdge(a: String, b: String, tier: String, source: String)
 
-final case class ClusterRow(image_id: String, cluster_id: Long, tier: String)
+// cluster_id is the lexicographic-min member image_id (collision-free string
+// label; a 64-bit hash label collides at 10^12-row scale)
+final case class ClusterRow(image_id: String, cluster_id: String, tier: String)
 
 /** Audit/lineage row: one per (run, stage[, partition]) — the graft's
   * replacement for the reference's TCP progress events

@@ -103,7 +103,7 @@ object ReferenceOracle {
     * fraction of oracle same-cluster pairs that are same-cluster in the
     * prediction (BASELINE.json metric; target >= 0.99).
     */
-  def dupPairRecall(oracleClusters: Seq[Set[String]], predicted: Map[String, Long]): Double = {
+  def dupPairRecall[L](oracleClusters: Seq[Set[String]], predicted: Map[String, L]): Double = {
     var hit = 0L
     var total = 0L
     oracleClusters.foreach { c =>

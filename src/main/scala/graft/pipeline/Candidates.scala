@@ -118,23 +118,65 @@ object Candidates {
     *
     * @return (representatives, starEdges(a=rep, b=member))
     */
-  def collapseExact(fps: DataFrame, keyCol: Column): (DataFrame, DataFrame) = {
+  def collapseExact(fps: DataFrame, keyCols: Seq[Column]): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("ckey")
-    val tagged = fps.withColumn("ckey", keyCol)
-      .withColumn("rep_id", min("image_id").over(w))
-    val reps = tagged.filter(col("image_id") === col("rep_id")).drop("ckey", "rep_id")
+    // Partition on the ACTUAL key columns — a 64-bit hash of the key would
+    // manufacture false "identical" rows on collision, which at 10^12 rows is
+    // a certainty (birthday bound), and each one silently fuses two clusters.
+    val w = Window.partitionBy(keyCols: _*)
+    val tagged = fps.withColumn("rep_id", min("image_id").over(w))
+    val reps = tagged.filter(col("image_id") === col("rep_id")).drop("rep_id")
     val star = tagged.filter(col("image_id") =!= col("rep_id"))
       .select(col("rep_id").as("a"), col("image_id").as("b"))
     (reps, star)
   }
 
+  /** Expand representative-level pairs into the FULL verified pair listing.
+    *
+    * After [[collapseExact]], the join emits pairs between representatives
+    * only; members of an identity group inherit every verified pair of their
+    * representative (identical key ⇒ identical verify outcome), and every
+    * within-group pair is itself verified (Hamming 0 / Jaccard 1) — exactly
+    * the pairs the reference's all-pairs loop would produce
+    * (/root/reference/SimHasher.cpp:149-192). QUADRATIC in identity-group
+    * size BY DEFINITION (the listing itself is the quadratic object) — this
+    * is the query-facing surface; the pipeline clusters on the collapsed
+    * star+rep edge set, which is component-equivalent and linear.
+    *
+    * @param repPairs (a, b) pairs between representative ids
+    * @param star     (a=rep, b=member) identity edges from [[collapseExact]]
+    * @param reps     representative rows (must carry `image_id`)
+    */
+  def expandThroughStar(repPairs: DataFrame, star: DataFrame, reps: DataFrame): DataFrame = {
+    val members = star.select(col("a").as("rep"), col("b").as("member"))
+      .unionByName(reps.select(col("image_id").as("rep"), col("image_id").as("member")))
+    val cross = repPairs
+      .join(members.select(col("rep").as("a"), col("member").as("x")), "a")
+      .join(members.select(col("rep").as("b"), col("member").as("y")), "b")
+      .select(least(col("x"), col("y")).as("a"), greatest(col("x"), col("y")).as("b"))
+    val within = members.alias("m1")
+      .join(members.alias("m2"), col("m1.rep") === col("m2.rep") &&
+        col("m1.member") < col("m2.member"))
+      .select(col("m1.member").as("a"), col("m2.member").as("b"))
+    cross.unionByName(within)
+      .filter(col("a") =!= col("b"))
+      .dropDuplicates("a", "b")
+  }
+
   /** SimHash bit-block candidate pairs, verified to Hamming <= sigma with
     * the span prefilter and optional same/diff-group modes
     * (/root/reference/SimHasher.cpp:91-122) in the join output filter.
+    *
+    * Pair-list contract: with `expandPairs = false` (pipeline default) the
+    * output is star edges + representative pairs — complete only UP TO
+    * connected-component closure (members of an identity group don't repeat
+    * their representative's neighbor pairs). With `expandPairs = true` the
+    * full verified pair listing is returned (reference all-pairs semantics;
+    * see [[expandThroughStar]]).
     */
   def simhashPairs(fps: Dataset[FingerprintRow], cfg: GraftConfig, sigma: Int,
-                   onlyDiffGroup: Boolean = false, onlySameGroup: Boolean = false): DataFrame = {
+                   onlyDiffGroup: Boolean = false, onlySameGroup: Boolean = false,
+                   expandPairs: Boolean = false): DataFrame = {
     if (sigma < 0) { // sigma_normal = -1 matches nothing (dif_config.txt:3)
       val spark = fps.sparkSession
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -150,7 +192,7 @@ object Candidates {
         if (groupMode) (fps.toDF(), None)
         else {
           val (r, s) = collapseExact(fps.toDF(),
-            xxhash64(col("simhash"), col("span"), col("group")))
+            Seq(col("simhash"), col("span"), col("group")))
           (r, Some(s))
         }
       val keyed = blockView(base, cfg.nBlocks)
@@ -166,7 +208,11 @@ object Candidates {
           groupCond)
         .select(col("l_image_id").as("a"), col("r_image_id").as("b"))
         .dropDuplicates("a", "b") // same pair can match in several blocks
-      star.map(joined.unionByName(_)).getOrElse(joined)
+      star match {
+        case None => joined
+        case Some(s) if expandPairs => expandThroughStar(joined, s, base)
+        case Some(s) => joined.unionByName(s)
+      }
     }
   }
 
@@ -178,37 +224,40 @@ object Candidates {
     * so at 10^12 scale the wide data crosses the wire once per verified
     * candidate instead of once per band replica.
     */
-  def bandPairs(fps: Dataset[FingerprintRow], cfg: GraftConfig): DataFrame = {
+  def bandPairs(fps: Dataset[FingerprintRow], cfg: GraftConfig,
+                expandPairs: Boolean = false): DataFrame = {
     // collapse identical gram sets (Jaccard 1 by construction) to one
     // representative each — a mega-group of equal captions costs O(|group|)
-    val (reps, star) = collapseExact(fps.toDF(), xxhash64(col("grams")))
+    val (reps, star) = collapseExact(fps.toDF(), Seq(col("grams")))
     val keyed = reps
       .select(col("image_id"),
-        posexplode(bandHashCol(cfg)).as(Seq("bandIdx", "bandHash")))
-    val cand = bucketSelfJoin(keyed, Seq("bandIdx", "bandHash"), cfg.hotBucketCap)
+        posexplode(bandKeyCol(cfg)).as(Seq("bandIdx", "bandKey")))
+    val cand = bucketSelfJoin(keyed, Seq("bandIdx", "bandKey"), cfg.hotBucketCap)
       .select(col("l_image_id").as("a"), col("r_image_id").as("b"))
       .dropDuplicates("a", "b") // same pair may collide in several bands
     val grams = reps.select(col("image_id"), col("grams"))
-    cand
+    val verified = cand
       .join(grams.select(col("image_id").as("a"), col("grams").as("a_grams")), "a")
       .join(grams.select(col("image_id").as("b"), col("grams").as("b_grams")), "b")
       .withColumn("inter", size(array_intersect(col("a_grams"), col("b_grams"))))
       .withColumn("uni", size(col("a_grams")) + size(col("b_grams")) - col("inter"))
       .filter(col("uni") > 0 && col("inter") >= col("uni") * cfg.jaccardTau)
       .select("a", "b")
-      .unionByName(star)
+    if (expandPairs) expandThroughStar(verified, star, reps)
+    else verified.unionByName(star)
   }
 
-  /** Band hashes as a column: computed from the minhash signature array with
-    * a deterministic fold (same math as MinHashCore.bandHashes, expressed on
-    * the already-computed signature to avoid recomputing shingles).
+  /** Band keys as a column: band b's key is the ARRAY of its rowsPerBand
+    * signature lanes (two rows share a bucket iff all lanes are equal) — the
+    * exact banding semantics, collision-free (a folded 64-bit band hash can
+    * collide and would manufacture false candidates that only cost verify
+    * work, but also makes the bucket join impossible to value-check against
+    * the sequential core). Key width is rowsPerBand × 8 bytes — negligible.
     */
-  private def bandHashCol(cfg: GraftConfig): Column = {
-    // slice is 1-based; fold each band's lanes through xxhash64 chaining
+  private def bandKeyCol(cfg: GraftConfig): Column = {
+    // slice is 1-based: band b covers lanes [b*rowsPerBand, (b+1)*rowsPerBand)
     val bands = (0 until cfg.nBands).map { b =>
-      val lanes = (0 until cfg.rowsPerBand).map(r =>
-        col("minhash").getItem(b * cfg.rowsPerBand + r))
-      xxhash64(lit(b) +: lanes: _*)
+      slice(col("minhash"), b * cfg.rowsPerBand + 1, cfg.rowsPerBand)
     }
     array(bands: _*)
   }

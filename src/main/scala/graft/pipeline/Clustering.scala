@@ -13,29 +13,36 @@ import org.apache.spark.storage.StorageLevel
   * verified edges; CC over the full verified-edge set therefore reproduces
   * every reference co-cluster relation → dup-pair recall 1.0 by construction.
   *
-  * Algorithm: vertices carry a candidate label = min(xxhash-stable numeric id)
-  * seen so far; each round propagates labels across edges in both directions
-  * and keeps the min; stops when no label changed. Rounds are O(component
-  * diameter) — near-dup families have tiny diameters; a cap + audit guards
-  * adversarial chains. Each round materializes via persist + count (a
-  * driver-side barrier only; all data stays distributed).
+  * Labels are the STRING image_id itself (component label = lexicographic
+  * min member id). Identity is collision-free by construction — no 64-bit
+  * hash stands in for a 10^12-row key space, where the birthday bound gives
+  * tens of thousands of colliding pairs, each a silent cluster merge.
+  *
+  * Algorithm: each round (1) propagates the min label across edges in both
+  * directions, then (2) path-compresses: since every label IS a vertex id,
+  * a vertex can jump to its current label's label — convergence in
+  * O(log diameter) rounds instead of O(diameter). Each round materializes
+  * via persist + one count (a driver-side barrier only; all data stays
+  * distributed).
   */
 object Clustering {
+
+  /** @param labels    (image_id, cluster_id: string = min member image_id)
+    * @param iterations rounds run
+    * @param converged  false iff maxIter was hit with labels still changing —
+    *                   the component partition may then be SPLIT (never
+    *                   over-merged); callers must surface this.
+    */
+  final case class CCResult(labels: DataFrame, iterations: Int, converged: Boolean)
 
   /** @param edges  (a, b) string-id pairs, each pair once in either order
     * @param vertices single-column "image_id" frame of ALL rows to label
     *                 (singletons keep their own label)
-    * @return (image_id, cluster_id) — cluster_id = min stable id of component
     */
   def connectedComponents(vertices: DataFrame, edges: DataFrame,
-                          maxIter: Int = 30): (DataFrame, Int) = {
-    val spark = vertices.sparkSession
-    // Stable numeric vertex ids: xxhash64 of the string id. Collision odds at
-    // 10^12 rows are ~3e-5 per Birthday bound with 64 bits — acceptable for
-    // cluster labels (ids remain strings; only labels are numeric).
-    val sym = edges.select(col("a"), col("b"))
-      .unionByName(edges.select(col("b").as("a"), col("a").as("b")))
-      .select(xxhash64(col("a")).as("src"), xxhash64(col("b")).as("dst"))
+                          maxIter: Int = 30): CCResult = {
+    val sym = edges.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(edges.select(col("b").as("src"), col("a").as("dst")))
       .repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
@@ -50,18 +57,25 @@ object Clustering {
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
-      // min label among (self, neighbors' labels)
+      // (1) min label among (self, neighbors' labels)
       val neighborMin = sym
         .join(labels.select(col("vid").as("src"), col("label")), "src")
         .groupBy(col("dst").as("vid"))
         .agg(min("label").as("nmin"))
-      val next = labels
+      val propagated = labels
         .join(neighborMin, Seq("vid"), "left")
-        .withColumn("newLabel", least(col("label"), coalesce(col("nmin"), col("label"))))
-        .select(col("vid"), col("newLabel").as("label"))
+        .select(col("vid"), col("label").as("old"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+      // (2) pointer jump: label := label-of-label (labels are vertex ids, so
+      // chains halve every round — large-star-style logarithmic convergence)
+      val next = propagated
+        .join(propagated.select(col("vid").as("label"), col("label").as("ll")),
+          Seq("label"), "left")
+        .select(col("vid"), col("old"),
+          least(col("label"), coalesce(col("ll"), col("label"))).as("label"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      val changed = next.join(labels.select(col("vid"), col("label").as("old")), "vid")
-        .filter(col("label") < col("old")).count()
+      // one action per round: materializes `next` AND counts changed labels
+      val changed = next.filter(col("label") =!= col("old")).count()
       labels.unpersist(false)
       labels = next
       // break lineage growth: local checkpoint every few rounds
@@ -70,13 +84,17 @@ object Clustering {
       iter += 1
     }
     sym.unpersist(false)
+    if (!converged)
+      System.err.println(s"[graft] WARNING: connectedComponents hit maxIter=$maxIter " +
+        "with labels still changing — components with diameter > 2^maxIter may be " +
+        "returned SPLIT (recall, not precision, is at risk). Raise maxIter.")
     // Re-attach: every input vertex gets a label; non-edge vertices label
     // themselves (singleton clusters).
     val out = vertices
-      .select(col("image_id"), xxhash64(col("image_id")).as("vid"))
-      .join(labels.select(col("vid"), col("label")), Seq("vid"), "left")
-      .select(col("image_id"), coalesce(col("label"), col("vid")).as("cluster_id"))
-    (out, iter)
+      .select(col("image_id"))
+      .join(labels.select(col("vid").as("image_id"), col("label")), Seq("image_id"), "left")
+      .select(col("image_id"), coalesce(col("label"), col("image_id")).as("cluster_id"))
+    CCResult(out, iter, converged)
   }
 
   /** Cluster statistics (SURVEY.md §2.5 A2): per-cluster member count and
@@ -96,4 +114,17 @@ object Clustering {
   def sizeHistogram(clusters: DataFrame): DataFrame =
     clusters.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
       .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+
+  /** Two-tier clustering surface (reference high-sim vs normal-sim clone-set
+    * lists, /root/reference/CloneSet.cpp:86-165, CloneSet.h:59-92): one
+    * component run per (tier, edge set), stacked with a `tier` column. The
+    * shipped reference config has sigma_normal = -1 (normal tier matches
+    * nothing — dif_config.txt:3); callers pass a positive sigma to light the
+    * tier up. Tier-split size histogram = groupBy(tier, size) downstream.
+    */
+  def tieredClusters(vertices: DataFrame,
+                     edgesByTier: Seq[(String, DataFrame)]): DataFrame =
+    edgesByTier.map { case (tier, edges) =>
+      connectedComponents(vertices, edges).labels.withColumn("tier", lit(tier))
+    }.reduce(_.unionByName(_))
 }

@@ -95,11 +95,11 @@ object DedupPipeline {
     }
 
     val clusters = staged("clusters") {
-      val (labels, iters) = Clustering.connectedComponents(
-        fps.toDF().select("image_id"), edges)
-      audit.foreach(_.log("cc_iterations", iters.toLong, 0L, committed = false,
-        detail = s"label propagation converged in $iters rounds"))
-      labels
+      val cc = Clustering.connectedComponents(fps.toDF().select("image_id"), edges)
+      audit.foreach(_.log("cc_iterations", cc.iterations.toLong, 0L, committed = false,
+        detail = s"label propagation ${if (cc.converged) "converged" else "DID NOT CONVERGE"}" +
+          s" in ${cc.iterations} rounds"))
+      cc.labels
     }
 
     val stats = staged("cluster_stats") {

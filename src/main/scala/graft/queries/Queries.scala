@@ -128,9 +128,10 @@ object Queries {
         .orderBy("da", "db")
     }),
     "dedup_pair_degree" -> ((s, dir) => {
-      val pairs = ngramJaccardPairs(documents(s, dir), n = 3, tau = 0.5)
-      pairs.select(col("da").as("doc_id"))
-        .unionByName(pairs.select(col("db").as("doc_id")))
+      // Degree via ONE explode over the pair set — a self-union of the pair
+      // frame would plan (and run) the expensive gram self-join twice.
+      ngramJaccardPairs(documents(s, dir), n = 3, tau = 0.5)
+        .select(explode(array(col("da"), col("db"))).as("doc_id"))
         .groupBy("doc_id").agg(count(lit(1)).as("n_dup_partners"))
         .orderBy("doc_id")
     }),
@@ -142,14 +143,17 @@ object Queries {
         .orderBy("doc_id")
     }),
     "dedup_simhash_pairs" -> ((s, dir) => {
+      // expandPairs: the query-facing surface is the FULL verified pair
+      // listing (reference all-pairs semantics), not the closure-equivalent
+      // collapsed edge set the pipeline clusters on
       val fps = Fingerprints.compute(docsAsImages(s, dir), docCfg)
-      Candidates.simhashPairs(fps, docCfg, docCfg.sigmaHigh)
+      Candidates.simhashPairs(fps, docCfg, docCfg.sigmaHigh, expandPairs = true)
         .select(col("a").cast("long").as("a"), col("b").cast("long").as("b"))
         .orderBy("a", "b")
     }),
     "dedup_minhash_lsh" -> ((s, dir) => {
       val fps = Fingerprints.compute(docsAsImages(s, dir), docCfg)
-      Candidates.bandPairs(fps, docCfg)
+      Candidates.bandPairs(fps, docCfg, expandPairs = true)
         .select(col("a").cast("long").as("a"), col("b").cast("long").as("b"))
         .orderBy("a", "b")
     }),

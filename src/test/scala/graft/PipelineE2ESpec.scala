@@ -39,8 +39,8 @@ class PipelineE2ESpec extends AnyFunSuite with BeforeAndAfterAll {
 
   lazy val result: DedupPipeline.Result = DedupPipeline.run(corpus._1, cfg)
 
-  lazy val predictedLabels: Map[String, Long] =
-    result.clusters.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+  lazy val predictedLabels: Map[String, String] =
+    result.clusters.collect().map(r => r.getString(0) -> r.getString(1)).toMap
 
   lazy val oracleClusters: Vector[Set[String]] = {
     val items = result.fingerprints
@@ -158,10 +158,11 @@ class PipelineE2ESpec extends AnyFunSuite with BeforeAndAfterAll {
   test("clustering is independent of partitioning (2 vs 8 partitions)") {
     val edges = result.edges
     val verts = result.fingerprints.toDF().select("image_id")
-    def canonical(labels: Map[String, Long]): Set[Set[String]] =
+    def canonical(labels: Map[String, String]): Set[Set[String]] =
       labels.groupBy(_._2).values.map(_.keySet).filter(_.size > 1).toSet
-    val (l2, _) = Clustering.connectedComponents(verts.repartition(2), edges.repartition(2))
-    val c2 = canonical(l2.collect().map(r => r.getString(0) -> r.getLong(1)).toMap)
+    val cc2 = Clustering.connectedComponents(verts.repartition(2), edges.repartition(2))
+    assert(cc2.converged)
+    val c2 = canonical(cc2.labels.collect().map(r => r.getString(0) -> r.getString(1)).toMap)
     assert(c2 === canonical(predictedLabels))
   }
 }

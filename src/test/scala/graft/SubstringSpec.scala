@@ -41,6 +41,28 @@ class SubstringSpec extends AnyFunSuite {
     assert(Substring.substringPairs(r, cfg).count() === 0)
   }
 
+  test("anchor shorter than k words still matches (short-anchor gap fix)") {
+    // k=3 (docCfg): a 2-word 13+-char caption contained in a longer one had
+    // no width-3 anchor gram and was silently missed before round 2.
+    val k3 = GraftConfig(shingleK = 3)
+    val r = rows(
+      "two" -> "extraordinary hippopotamus",
+      "host" -> "we saw an extraordinary hippopotamus at the river today",
+      "one" -> "antidisestablishmentarianism",
+      "onehost" -> "the word antidisestablishmentarianism is famously long")
+    val pairs = Substring.substringPairs(r, k3)
+      .collect().map(x => (x.getString(0), x.getString(1))).toSet
+    assert(pairs === Set(("two", "host"), ("one", "onehost")))
+  }
+
+  test("short anchor must still be word-aligned and verbatim") {
+    val k3 = GraftConfig(shingleK = 3)
+    val r = rows(
+      "two" -> "ordinary hippopotamus",
+      "host" -> "we saw an extraordinary hippopotamus at the river") // char substring only
+    assert(Substring.substringPairs(r, k3).count() === 0)
+  }
+
   test("pipeline catches a substring pair invisible to SimHash and MinHash") {
     val noise1 = (1 to 30).map(i => s"w$i").mkString(" ")
     val noise2 = (31 to 60).map(i => s"w$i").mkString(" ")
@@ -50,7 +72,7 @@ class SubstringSpec extends AnyFunSuite {
       ("bystander", "completely different text with its own words", 3L)
     ).toDF("image_id", "caption", "phash")
     val res = DedupPipeline.run(img, cfg.copy(weights = cfg.weights + ("PHASH" -> 0)))
-    val labels = res.clusters.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val labels = res.clusters.collect().map(r => r.getString(0) -> r.getString(1)).toMap
     // Jaccard(needle, haystack) = 4/65 << tau and Hamming is far: only J5 links them
     assert(labels("needle") === labels("haystack"))
     assert(labels("bystander") !== labels("needle"))
