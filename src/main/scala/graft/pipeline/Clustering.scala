@@ -2,7 +2,6 @@ package graft.pipeline
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /** Iterative Dataset-based connected components (hash-partitioned min-label
   * propagation) — the scalable replacement for the reference's in-memory
@@ -22,8 +21,8 @@ import org.apache.spark.storage.StorageLevel
   * directions, then (2) path-compresses: since every label IS a vertex id,
   * a vertex can jump to its current label's label — convergence in
   * O(log diameter) rounds instead of O(diameter). Each round materializes
-  * via persist + one count (a driver-side barrier only; all data stays
-  * distributed).
+  * eagerly with ONE driver-side barrier (the changed-label count); all data
+  * stays distributed.
   */
 object Clustering {
 
@@ -35,24 +34,39 @@ object Clustering {
     */
   final case class CCResult(labels: DataFrame, iterations: Int, converged: Boolean)
 
+  /** Eager materialization + lineage truncation. Prefers a RELIABLE
+    * checkpoint (HDFS/object-store) when `sparkContext.setCheckpointDir` is
+    * configured — on a real cluster localCheckpoint blocks live on executors
+    * and an executor loss kills the job mid-stage; local mode (no checkpoint
+    * dir) falls back to localCheckpoint.
+    */
+  private def materialize(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(true)
+    else df.localCheckpoint(true)
+
   /** @param edges  (a, b) string-id pairs, each pair once in either order
     * @param vertices single-column "image_id" frame of ALL rows to label
     *                 (singletons keep their own label)
     */
   def connectedComponents(vertices: DataFrame, edges: DataFrame,
                           maxIter: Int = 30): CCResult = {
-    val sym = edges.select(col("a").as("src"), col("b").as("dst"))
-      .unionByName(edges.select(col("b").as("src"), col("a").as("dst")))
-      .repartition(col("src"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // Lineage discipline (plan-explosion gotcha): the pointer-jump step
+    // SELF-JOINS each round's frame, so an un-truncated logical plan doubles
+    // per round (2^rounds); and `sym` is re-referenced every round. Both are
+    // therefore materialized eagerly — the plan each round is then two scans,
+    // constant-size, regardless of round count. (Data-wise these frames are
+    // edge-incident rows only — tiny next to the corpus.)
+    val sym = materialize(
+      edges.select(col("a").as("src"), col("b").as("dst"))
+        .unionByName(edges.select(col("b").as("src"), col("a").as("dst")))
+        .repartition(col("src")))
 
     // Only vertices incident to an edge participate in propagation; the
     // (overwhelmingly more numerous, at production dup rates) singletons
     // keep their own label and never enter the loop.
-    var labels = sym.select(col("src").as("vid")).distinct()
-      .withColumn("label", col("vid"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    labels.count()
+    var labels = materialize(
+      sym.select(col("src").as("vid")).distinct()
+        .withColumn("label", col("vid")))
 
     var iter = 0
     var converged = false
@@ -68,22 +82,16 @@ object Clustering {
           least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
       // (2) pointer jump: label := label-of-label (labels are vertex ids, so
       // chains halve every round — large-star-style logarithmic convergence)
-      val next = propagated
+      val next = materialize(propagated
         .join(propagated.select(col("vid").as("label"), col("label").as("ll")),
           Seq("label"), "left")
         .select(col("vid"), col("old"),
-          least(col("label"), coalesce(col("ll"), col("label"))).as("label"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      // one action per round: materializes `next` AND counts changed labels
+          least(col("label"), coalesce(col("ll"), col("label"))).as("label")))
       val changed = next.filter(col("label") =!= col("old")).count()
-      labels.unpersist(false)
-      labels = next
-      // break lineage growth: local checkpoint every few rounds
-      if (iter % 5 == 4) labels = labels.localCheckpoint(true)
+      labels = next.select("vid", "label")
       converged = changed == 0
       iter += 1
     }
-    sym.unpersist(false)
     if (!converged)
       System.err.println(s"[graft] WARNING: connectedComponents hit maxIter=$maxIter " +
         "with labels still changing — components with diameter > 2^maxIter may be " +

@@ -58,17 +58,25 @@ object DedupPipeline {
     import spark.implicits._
 
     // Stage materialization: with an Audit, stages write to parquet (the
-    // resumable checkpoint — which also truncates lineage). Without one,
-    // stages are eagerly localCheckpoint'ed: this both pins the data
-    // (no recompute across downstream actions) and REPLACES the logical
-    // plan with a scan of the checkpointed RDD — essential, because the
-    // candidate generators reference each stage several times (cold/hot
-    // branches, collapse star, two LSH paths) and nesting the full upstream
-    // DAG into every branch makes Catalyst analysis time explode.
+    // resumable checkpoint — which also truncates lineage; THE production
+    // default at scale). Without one, stages are materialized eagerly: this
+    // both pins the data (no recompute across downstream actions) and
+    // REPLACES the logical plan with a scan of the materialized RDD —
+    // essential, because the candidate generators reference each stage
+    // several times (cold/hot branches, collapse star, two LSH paths) and
+    // nesting the full upstream DAG into every branch makes Catalyst
+    // analysis time explode. Failure-recovery semantics of the no-audit
+    // path: with sparkContext.setCheckpointDir configured, stages go to the
+    // RELIABLE checkpoint store and survive executor loss; bare local mode
+    // falls back to localCheckpoint (executor-resident blocks — fine in a
+    // single-JVM sandbox, NOT the cluster default).
     def staged(name: String)(f: => DataFrame): DataFrame =
       audit.map(_.stage(name)(f)).getOrElse {
         val t0 = System.nanoTime()
-        val out = f.localCheckpoint(true)
+        val df = f
+        val out =
+          if (spark.sparkContext.getCheckpointDir.isDefined) df.checkpoint(true)
+          else df.localCheckpoint(true)
         if (sys.props.contains("graft.profile"))
           println(f"[profile] stage $name: ${(System.nanoTime() - t0) / 1e9}%.2f s")
         out

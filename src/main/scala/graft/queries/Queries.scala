@@ -43,6 +43,12 @@ object Queries {
     sigmaHigh = 3,
     jaccardTau = 0.5)
 
+  /** Tier thresholds for the two-tier cluster surface (reference σ_high=1 /
+    * σ_normal, dif_config.txt:2-3; scaled to the 64-bit doc config).
+    */
+  val sigmaTierHigh = 3
+  val sigmaTierNormal = 6
+
   // ---------------------------------------------------------------- queries
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -166,18 +172,13 @@ object Queries {
     "dedup_embcos" -> ((s, dir) => {
       // embedding-cosine near-dup: exact verification pass (the LSH-bucketed
       // scale path is sim_ann_lsh; this exact form is the SQL-checkable
-      // oracle twin, same candidates→verify contract)
-      val e = embeddings(s, dir)
-      val norm = sqrt(aggregate(col("embedding"), lit(0.0),
-        (acc, x) => acc + x.cast("double") * x.cast("double")))
-      val withNorm = e.select(col("vec_id"), col("embedding"), norm.as("nrm"))
-      val l = withNorm.select(col("vec_id").as("a"), col("embedding").as("ae"), col("nrm").as("an"))
-      val r = withNorm.select(col("vec_id").as("b"), col("embedding").as("be"), col("nrm").as("bn"))
-      val dot = aggregate(
-        zip_with(col("ae"), col("be"), (x, y) => x.cast("double") * y.cast("double")),
-        lit(0.0), (acc, x) => acc + x)
-      l.join(r, col("a") < col("b"))
-        .select(col("a"), col("b"), round(dot / (col("an") * col("bn")), 6).as("cos"))
+      // oracle twin, same candidates→verify contract). Cosine runs as a
+      // typed compiled loop over primitive arrays (SimilarityOps.pairCosine)
+      // — the interpreted per-element HOF it replaced cost 221 s at sf0.1.
+      val e = SimilarityOps.withNorm(embeddings(s, dir))
+      val l = e.select(col("vec_id").as("a"), col("embedding").as("ae"), col("nrm").as("an"))
+      val r = e.select(col("vec_id").as("b"), col("embedding").as("be"), col("nrm").as("bn"))
+      SimilarityOps.pairCosine(l.join(r, col("a") < col("b")))
         .filter(col("cos") >= 0.45)
         .orderBy("a", "b")
     }),
@@ -201,6 +202,47 @@ object Queries {
       graft.pipeline.Substring.substringPairs(rows, docCfg)
         .select(col("a").cast("long").as("a"), col("b").cast("long").as("b"))
         .orderBy("a", "b")
+    }),
+    "dedup_clusters_tiered" -> ((s, dir) => {
+      // two-tier clone-set surface (reference high-sim vs normal-sim lists,
+      // /root/reference/CloneSet.cpp:86-165, CloneSet.h:59-92): one CC run
+      // per Hamming threshold, stacked under a `tier` column. The shipped
+      // reference normal tier is sigma=-1 (matches nothing); the query uses
+      // a wider sigma so the tier is observable. Value parity: scalatest
+      // brute-force CC per tier (ValueParitySpec).
+      import s.implicits._
+      val fps = Fingerprints.compute(docsAsImages(s, dir), docCfg)
+      // lineage cut: the fingerprint stage is referenced by both tiers'
+      // generators (plan-explosion gotcha)
+      val fpsC = fps.toDF().localCheckpoint(true).as[FingerprintRow]
+      val vertices = fpsC.toDF().select("image_id")
+      val tiers = Seq(
+        "high" -> Candidates.simhashPairs(fpsC, docCfg, sigmaTierHigh),
+        "normal" -> Candidates.simhashPairs(
+          fpsC, docCfg.copy(nBlocks = 8), sigmaTierNormal))
+      Clustering.tieredClusters(vertices, tiers)
+        .select(col("image_id").cast("long").as("doc_id"), col("tier"), col("cluster_id"))
+        .orderBy("tier", "doc_id")
+    }),
+    "dedup_tier_hist" -> ((s, dir) => {
+      // A3 histogram with the reference's tier split
+      // (nblockAmountMap/hblockAmountMap, /root/reference/CloneSet.cpp:172-231)
+      queries("dedup_clusters_tiered")(s, dir)
+        .groupBy("tier", "cluster_id").agg(count(lit(1)).as("cluster_size"))
+        .groupBy("tier", "cluster_size").agg(count(lit(1)).as("n_clusters"))
+        .orderBy("tier", "cluster_size")
+    }),
+    "audit_stage_metrics" -> ((s, dir) => {
+      // A8/S6 queryable surface: run the audited pipeline, read back the
+      // lineage/metrics ledger (deterministic columns only; wall-clock
+      // excluded). Proves resume markers + per-stage metrics are TABLE data.
+      val work = java.nio.file.Files.createTempDirectory("graft-audit-q").toString
+      val audit = new graft.pipeline.Audit(s, work, runId = "audit_q")
+      DedupPipeline.run(docsAsImages(s, dir), docCfg, audit = Some(audit))
+      audit.auditRows()
+        .filter(col("committed"))
+        .select(col("stage"), col("rows_out"))
+        .orderBy("stage")
     }),
     "grouped_simhash" -> ((s, dir) => {
       // file-based fingerprint mode analogue (G6): one simhash per source
@@ -286,6 +328,37 @@ object Queries {
         .orderBy(col("n").desc, col("word"))
     }),
 
+    // --- quality-score rollup (A8/§2.10, /root/reference/ScoreController
+    //     .cpp:146-184): per-doc unit scores clamped to [0,100], rolled up
+    //     by a char-weighted mean per scope level (source), then a global
+    //     char-weighted mean — same shape as the reference's recursive
+    //     scope-tree average; unit formulas are text-domain analogues of
+    //     TooLongUnit's size bands (ScoreUnit.cpp:233-260). ---
+    "score_rollup" -> ((s, dir) => {
+      val nToks = size(split(col("text"), " "))
+      val scoreLen = when(col("n_chars") <= 400, 100)
+        .when(col("n_chars") <= 1000, 90).otherwise(70)
+      val scoreTok = when(nToks.between(5, 200), 100).otherwise(50)
+      val scored = documents(s, dir).select(
+        col("source"), col("n_chars"),
+        ((scoreLen + scoreTok) / 2.0).as("doc_score"))
+      val perSource = scored.groupBy("source")
+        .agg(round(sum(col("doc_score") * col("n_chars")) / sum(col("n_chars")), 6)
+            .as("score"),
+          count(lit(1)).as("n_docs"),
+          sum("n_chars").as("total_chars"))
+        .select(concat(lit("source:"), col("source")).as("scope"),
+          col("score"), col("n_docs"), col("total_chars"))
+      val global = scored
+        .agg(round(sum(col("doc_score") * col("n_chars")) / sum(col("n_chars")), 6)
+            .as("score"),
+          count(lit(1)).as("n_docs"),
+          sum("n_chars").as("total_chars"))
+        .select(lit("global").as("scope"), col("score"), col("n_docs"),
+          col("total_chars"))
+      perSource.unionByName(global).orderBy("scope")
+    }),
+
     // --- corpus stats (cluster-stats/histogram shapes, SURVEY §2.5 A2/A3) ---
     "corpus_source_stats" -> ((s, dir) => {
       documents(s, dir).groupBy("source")
@@ -303,19 +376,13 @@ object Queries {
 
     // --- similarity search over embeddings ---
     "sim_cosine_topk" -> ((s, dir) => {
-      val e = embeddings(s, dir)
-      val norm = sqrt(aggregate(col("embedding"), lit(0.0),
-        (acc, x) => acc + x.cast("double") * x.cast("double")))
-      val withNorm = e.select(col("vec_id"), col("embedding"), norm.as("nrm"))
-      val q = withNorm.filter(col("vec_id") % 50 === 0)
-        .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"))
-      val dot = aggregate(
-        zip_with(col("qe"), col("embedding"), (a, b) => a.cast("double") * b.cast("double")),
-        lit(0.0), (acc, x) => acc + x)
-      val sims = q.crossJoin(withNorm)
-        .filter(col("qid") =!= col("vec_id"))
-        .select(col("qid"), col("vec_id").as("cid"),
-          round(dot / (col("qn") * col("nrm")), 6).as("sim"))
+      val e = SimilarityOps.withNorm(embeddings(s, dir))
+      val q = e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("a"), col("embedding").as("ae"), col("nrm").as("an"))
+      val c = e.select(col("vec_id").as("b"), col("embedding").as("be"), col("nrm").as("bn"))
+      val sims = SimilarityOps.pairCosine(
+          q.crossJoin(c).filter(col("a") =!= col("b")))
+        .select(col("a").as("qid"), col("b").as("cid"), col("cos").as("sim"))
       val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("cid").asc)
       sims.withColumn("rk", row_number().over(w).cast("bigint"))
         .filter(col("rk") <= 5)
@@ -329,7 +396,7 @@ object Queries {
         .orderBy("vec_id")
     }),
     "sim_ann_lsh" -> ((s, dir) => {
-      SimilarityOps.annLsh(embeddings(s, dir), nPlanes = 12, topK = 5)
+      SimilarityOps.annLsh(embeddings(s, dir), nPlanes = 6, topK = 5, nTables = 8)
         .orderBy("qid", "rk")
     })
   )
@@ -458,6 +525,24 @@ object Queries {
       """SELECT word, count(*) AS n FROM (
         |  SELECT unnest(string_split(text, ' ')) AS word FROM documents)
         |GROUP BY 1 ORDER BY n DESC, word""".stripMargin,
+    "score_rollup" ->
+      """WITH scored AS (
+        |  SELECT source, n_chars,
+        |    (CASE WHEN n_chars <= 400 THEN 100
+        |          WHEN n_chars <= 1000 THEN 90 ELSE 70 END
+        |     + CASE WHEN len(string_split(text, ' ')) BETWEEN 5 AND 200
+        |            THEN 100 ELSE 50 END) / 2.0 AS doc_score
+        |  FROM documents)
+        |SELECT 'source:' || source AS scope,
+        |  round(sum(doc_score * n_chars) / sum(n_chars), 6) AS score,
+        |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM scored GROUP BY source
+        |UNION ALL
+        |SELECT 'global' AS scope,
+        |  round(sum(doc_score * n_chars) / sum(n_chars), 6) AS score,
+        |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM scored
+        |ORDER BY scope""".stripMargin,
     "corpus_source_stats" ->
       """SELECT source, count(*) AS n_docs, min(n_chars) AS min_chars,
         |  max(n_chars) AS max_chars, CAST(sum(n_chars) AS BIGINT) AS total_chars
