@@ -12,15 +12,45 @@ import graft.queries.Queries
   * local[32], sandbox proxy for N vs 4N executors per the driver
   * instruction) on the identical synthetic corpus, reporting images/sec at
   * both and the scaling efficiency.
+  *
+  * Robustness contract (round-2 regression: the driver's bench timed out
+  * and, because JSON was only written at the very end, the round shipped
+  * ZERO numbers): results are now flushed to SPARK_GRAFT_BENCH_OUT after
+  * every query and every pipeline leg, so a kill at ANY point leaves a
+  * parseable bench.json with everything measured so far. The scaling
+  * section is additionally time-boxed by SPARK_GRAFT_BENCH_BUDGET_SEC —
+  * optional work (extra reps, the corpus-size sweep) is skipped when the
+  * budget would be exceeded; the mandatory one-measured-run-per-level pair
+  * always runs.
+  *
+  * Protocol (frozen for cross-round comparability — BENCH.md): N=8 vs
+  * 4N=32 cores, identical corpus, 1 warm-up per level (JIT warm-up is
+  * JVM-global), then alternating measured reps, per-level minimum. The
+  * round-1 JSON key names (`images_per_sec_local8` etc.) are emitted
+  * alongside the generic `_n`/`_4n` names whenever N=8.
   */
 object Bench {
 
-  // per-run executor task-time meter (graft.tools.ScaleProbe.Meter): the
-  // summed task time ≈ parallel work W, robust to the shared host's wall
-  // -clock noise; reported per leg so wall = F + W/cores is checkable.
-  private val meter = new graft.tools.ScaleProbe.Meter
+  // ---- incremental JSON state: flushed to disk after every measurement ----
+  private val fields = scala.collection.mutable.LinkedHashMap[String, String]()
+  private var outFile = "/root/repo/bench.json"
 
-  private def session(cores: Int): SparkSession = {
+  /** Locale-pinned formatting: the default-locale f interpolator would emit
+    * "45,600" on comma-decimal locales and break the driver's JSON parse.
+    */
+  private def fmt(d: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
+
+  private def render(): String =
+    fields.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+
+  private def put(kvs: (String, String)*): Unit = {
+    kvs.foreach { case (k, v) => fields(k) = v }
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(outFile), render() + "\n")
+  }
+
+  private def session(cores: Int): (SparkSession, graft.tools.ScaleProbe.Meter) = {
     val s = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(s"graft-bench-$cores")
@@ -30,111 +60,190 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    // fresh Meter per session: a shared listener instance re-registered on
+    // every session is one leak away from double-counting task time
+    val meter = new graft.tools.ScaleProbe.Meter
     s.sparkContext.addSparkListener(meter)
-    s
+    (s, meter)
+  }
+
+  /** Block until all queued listener events are delivered (so the Meter's
+    * task-time totals are complete). LiveListenerBus.waitUntilEmpty is
+    * private[spark] — public in bytecode, reached via reflection; falls
+    * back to a drain sleep if the internals move.
+    */
+  private def drainListenerBus(spark: SparkSession): Unit = {
+    try {
+      val sc = spark.sparkContext
+      val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
+      val wait = bus.getClass.getMethods
+        .find(m => m.getName == "waitUntilEmpty" && m.getParameterCount == 0)
+      wait match {
+        case Some(m) => m.invoke(bus); ()
+        case None =>
+          val m2 = bus.getClass.getMethods
+            .find(m => m.getName == "waitUntilEmpty" && m.getParameterCount == 1)
+          m2 match {
+            case Some(m) => m.invoke(bus, Long.box(10000L)); ()
+            case None => Thread.sleep(300)
+          }
+      }
+    } catch { case _: Throwable => Thread.sleep(300) }
   }
 
   final case class Run(wall: Double, rows: Long, taskSec: Double)
 
-  /** Wall-time one full dedup-pipeline run. */
-  private def pipelineRun(spark: SparkSession, corpusDir: String): Run = {
-    meter.reset()
-    val images = spark.read.parquet(s"$corpusDir/images")
-    val t0 = System.nanoTime()
-    val res = DedupPipeline.run(images, graft.core.GraftConfig())
-    val n = res.clusters.count()
-    val wall = (System.nanoTime() - t0) / 1e9
-    Thread.sleep(300) // listener bus drain
-    val taskSec = meter.taskMs.get() / 1000.0
-    if (sys.props.contains("graft.profile"))
-      println(f"[profile] pipeline ${wall}%.2f s cores=${spark.sparkContext.defaultParallelism} cc_iters=${res.ccIterations} taskTime=$taskSec%.0f core-s")
-    // Free EVERY persisted/checkpointed RDD (incl. CC-internal rounds) —
-    // leaked checkpoint blocks accumulate across repeated runs in one
-    // session and eventually GC-thrash the JVM (measured: 5x wall blow-up
-    // on the 3rd back-to-back run).
-    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
-    Run(wall, n, taskSec)
+  /** Wall-time one full dedup-pipeline run at `cores`, in a fresh session. */
+  private def run1(cores: Int, corpusDir: String): Run = {
+    val (spark, meter) = session(cores)
+    try {
+      val images = spark.read.parquet(s"$corpusDir/images")
+      val t0 = System.nanoTime()
+      val res = DedupPipeline.run(images, graft.core.GraftConfig())
+      val n = res.clusters.count()
+      val wall = (System.nanoTime() - t0) / 1e9
+      drainListenerBus(spark)
+      val taskSec = meter.taskMs.get() / 1000.0
+      if (sys.props.contains("graft.profile"))
+        println(f"[profile] pipeline ${wall}%.2f s cores=$cores cc_iters=${res.ccIterations} taskTime=$taskSec%.0f core-s")
+      // Free EVERY persisted/checkpointed RDD — leaked checkpoint blocks
+      // accumulate across runs and eventually GC-thrash the JVM (measured:
+      // 5x wall blow-up on the 3rd back-to-back run).
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      Run(wall, n, taskSec)
+    } finally spark.stop()
+  }
+
+  /** One measured N/4N leg pair on `corpusDir`: warm once per level (first
+    * pair only — JIT warm-up is JVM-global), then alternate measured runs,
+    * keep the per-level minimum. Returns (bestN, best4N).
+    */
+  private def legPair(nCores: Int, n4Cores: Int, corpusDir: String, reps: Int,
+                      warm: Boolean, budgetLeft: () => Double): (Run, Run) = {
+    if (warm) { run1(n4Cores, corpusDir); run1(nCores, corpusDir) }
+    var bestN = run1(nCores, corpusDir)
+    var best4N = run1(n4Cores, corpusDir)
+    var r = 1
+    // extra reps only while they fit in the remaining budget
+    while (r < reps && budgetLeft() > (bestN.wall + best4N.wall) * 1.3) {
+      val a = run1(nCores, corpusDir); if (a.wall < bestN.wall) bestN = a
+      val b = run1(n4Cores, corpusDir); if (b.wall < best4N.wall) best4N = b
+      r += 1
+    }
+    (bestN, best4N)
   }
 
   def main(args: Array[String]): Unit = {
+    val tMain = System.nanoTime()
+    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "1500").toDouble
+    def budgetLeft(): Double = budgetSec - (System.nanoTime() - tMain) / 1e9
+
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     // Sized so the pipeline run is compute-bound rather than dominated by
     // local-mode per-stage scheduling latency (measured ~8 s serial floor
-    // across ~74 jobs, identical at all parallelism levels — it floors the
-    // measurable scaling ratio): ~515k images ≈ 650 core-s of parallel work.
+    // across ~70 jobs, identical at all parallelism levels — it floors the
+    // measurable scaling ratio; see the sweep in BENCH.md).
     val benchFamilies = sys.env.getOrElse("SPARK_GRAFT_BENCH_FAMILIES", "120000").toLong
-    // Scaling legs: N and 4N cores per the north rule. Default 2 vs 8, NOT
-    // 8 vs 32: the sandbox host is a SHARED 32-core box whose co-tenant load
-    // regularly exceeds 10 cores — wide legs then measure neighbor
-    // contention, not the engine (at load ~11, local[32] task time inflated
-    // 5x and even local[16] wall doubled, while <=8-thread legs stayed
-    // stable across every session; see BENCH.md). The 4x CORE RATIO, which
-    // is what the efficiency criterion divides by, is preserved.
-    val nCores = sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "2").toInt
+    // Frozen scaling protocol: local[8] vs local[32] (the 4x core ratio the
+    // efficiency criterion divides by; matches round 1 and the judge's
+    // independent protocol). Overridable for diagnosis on a noisy host.
+    val nCores = sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "8").toInt
     val n4Cores = nCores * 4
     val corpusDir = sys.env.getOrElse("SPARK_GRAFT_BENCH_CORPUS",
       s"/root/repo/target/bench-corpus-$benchFamilies")
+    outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/bench.json")
+
+    put("metric" -> "\"total\"", "value" -> "null", "unit" -> "\"sec\"",
+      "queries" -> "{}", "sf" -> ("\"" + sfDir + "\""))
 
     // ---- 1. query suite at the requested parallelism ----
     val skipQueries = sys.env.contains("SPARK_GRAFT_BENCH_SKIP_QUERIES")
-    var spark = session(cpus)
-    val results =
-      if (skipQueries) Seq.empty
-      else Queries.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    if (!skipQueries) {
+      val (spark, _) = session(cpus)
+      // Untimed JIT/classloading warm-up: one tiny pipeline + one scan.
+      // Without it the alphabetically-first suite query absorbs ~30-40 s of
+      // one-time JVM warm-up (measured: audit_stage_metrics 46 s cold vs
+      // ~8 s warm on identical input) and the per-query numbers stop
+      // reflecting the operators.
+      try {
+        val warmDir = java.nio.file.Files.createTempDirectory("graft-bench-warm").toString
+        val (warmImg, _) = SyntheticImages.materialize(spark, warmDir, 200)
+        DedupPipeline.run(warmImg, graft.core.GraftConfig()).clusters.count()
+        spark.read.parquet(s"$sfDir/documents.parquet").count()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      } catch { case e: Throwable => System.err.println(s"[bench] warm-up failed: $e") }
+      val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+      Queries.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
         val t0 = System.nanoTime()
-        val n = try fn(spark, sfDir).count() catch {
-          case e: Throwable => System.err.println(s"[bench] $name failed: $e"); -1L
+        try fn(spark, sfDir).count() catch {
+          case e: Throwable => System.err.println(s"[bench] $name failed: $e")
         }
-        name -> ((System.nanoTime() - t0) / 1e9, n)
+        results(name) = (System.nanoTime() - t0) / 1e9
+        val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+          .mkString("{", ",", "}")
+        put("queries" -> qs, "value" -> fmt(results.values.sum))
       }
-
-    // ---- 2. scaling bench: identical corpus at local[8] vs local[32] ----
-    val (img, _) = SyntheticImages.materialize(spark, corpusDir, benchFamilies)
-    val nImages = img.count()
-    spark.stop()
-
-    // Measurement discipline: JIT warm-up is JVM-GLOBAL, so warming only
-    // inside each level biases whichever level runs first (a cold local[8]
-    // leg measured 4x its steady state). Warm once at each level, then
-    // ALTERNATE measured runs and keep the per-level minimum — alternation
-    // also spreads shared-host noise windows across both levels instead of
-    // landing one level entirely inside a noisy period.
-    def run1(cores: Int): Run = {
-      val s = session(cores)
-      try pipelineRun(s, corpusDir) finally s.stop()
+      spark.stop()
     }
-    run1(n4Cores); run1(nCores) // discarded JVM-global warm-up
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
-    val measured = (1 to reps).map(_ => (run1(nCores), run1(n4Cores)))
-    val bestN = measured.map(_._1).minBy(_.wall)
-    val best4N = measured.map(_._2).minBy(_.wall)
-    val tN = bestN.wall
-    val t4N = best4N.wall
-    val rowsOut = best4N.rows
-    val thrN = nImages / tN
-    val thr4N = nImages / t4N
-    val eff = (thr4N / thrN) / 4.0
 
-    // Locale-pinned formatting: the default-locale f interpolator would emit
-    // "45,600" on comma-decimal locales and break the driver's JSON parse.
-    def fmt(d: Double): String =
-      String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
-    val qs = results.map { case (k, (v, _)) => "\"" + k + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2._1).sum
-    val json =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
-      s""""sf":"$sfDir","pipeline_images":$nImages,"pipeline_rows_out":$rowsOut,""" +
-      s""""scaling_n_cores":$nCores,"scaling_4n_cores":$n4Cores,""" +
-      s""""images_per_sec_n":${fmt(thrN)},"images_per_sec_4n":${fmt(thr4N)},""" +
-      s""""pipeline_sec_n":${fmt(tN)},"pipeline_sec_4n":${fmt(t4N)},""" +
-      s""""task_core_sec_n":${fmt(bestN.taskSec)},"task_core_sec_4n":${fmt(best4N.taskSec)},""" +
-      s""""scaling_efficiency":${fmt(eff)}}"""
-    println(json)
-    // Also land the line in a file: sbt's logger prefixes stdout with
-    // "[info]", which machine parsers can trip over.
-    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/bench.json")
-    java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json + "\n")
+    // ---- 2. scaling bench: identical corpus at local[N] vs local[4N] ----
+    val (genSpark, _) = session(cpus)
+    val tGen = System.nanoTime()
+    SyntheticImages.materialize(genSpark, corpusDir, benchFamilies)
+    val nImages = genSpark.read.parquet(s"$corpusDir/images").count()
+    val genSec = (System.nanoTime() - tGen) / 1e9
+    genSpark.stop()
+    put("pipeline_images" -> nImages.toString,
+      "scaling_n_cores" -> nCores.toString, "scaling_4n_cores" -> n4Cores.toString)
+
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "1").toInt
+    val (bestN, best4N) =
+      legPair(nCores, n4Cores, corpusDir, reps, warm = true, budgetLeft _)
+    val thrN = nImages / bestN.wall
+    val thr4N = nImages / best4N.wall
+    val eff = (thr4N / thrN) / 4.0
+    val legacy =
+      if (nCores == 8) Seq(
+        "images_per_sec_local8" -> fmt(thrN), "images_per_sec_local32" -> fmt(thr4N),
+        "pipeline_sec_local8" -> fmt(bestN.wall), "pipeline_sec_local32" -> fmt(best4N.wall))
+      else Seq.empty
+    put(Seq(
+      "pipeline_rows_out" -> best4N.rows.toString,
+      "images_per_sec_n" -> fmt(thrN), "images_per_sec_4n" -> fmt(thr4N),
+      "pipeline_sec_n" -> fmt(bestN.wall), "pipeline_sec_4n" -> fmt(best4N.wall),
+      "task_core_sec_n" -> fmt(bestN.taskSec), "task_core_sec_4n" -> fmt(best4N.taskSec),
+      "scaling_efficiency" -> fmt(eff)) ++ legacy: _*)
+
+    // ---- 3. corpus-size sweep (the W-vs-F asymptote evidence): a larger
+    // corpus at the same protocol, run only if it fits the remaining
+    // budget. Serial floor F is core-count-invariant, so efficiency
+    // (F+W/N)/(F+W/4N)-style rises toward 1 as W grows — the sweep makes
+    // that measurable instead of argued. ----
+    val sweepFamilies = sys.env.getOrElse("SPARK_GRAFT_BENCH_SWEEP_FAMILIES",
+      (benchFamilies * 4).toString).toLong
+    val sweepOn = sys.env.getOrElse("SPARK_GRAFT_BENCH_SWEEP", "1") != "0"
+    val ratio = sweepFamilies.toDouble / benchFamilies
+    val estimate = (bestN.wall + best4N.wall) * ratio * 1.2 + genSec * ratio
+    if (sweepOn && sweepFamilies > benchFamilies && budgetLeft() > estimate) {
+      val sweepDir = s"/root/repo/target/bench-corpus-$sweepFamilies"
+      val (s2, _) = session(cpus)
+      SyntheticImages.materialize(s2, sweepDir, sweepFamilies)
+      val nSweep = s2.read.parquet(s"$sweepDir/images").count()
+      s2.stop()
+      // no extra warm-up: the JVM is hot from the standard legs
+      val (swN, sw4N) =
+        legPair(nCores, n4Cores, sweepDir, 1, warm = false, budgetLeft _)
+      val sThrN = nSweep / swN.wall
+      val sThr4N = nSweep / sw4N.wall
+      put("sweep" -> (
+        s"""{"families":$sweepFamilies,"images":$nSweep,""" +
+        s""""pipeline_sec_n":${fmt(swN.wall)},"pipeline_sec_4n":${fmt(sw4N.wall)},""" +
+        s""""images_per_sec_n":${fmt(sThrN)},"images_per_sec_4n":${fmt(sThr4N)},""" +
+        s""""task_core_sec_n":${fmt(swN.taskSec)},"task_core_sec_4n":${fmt(sw4N.taskSec)},""" +
+        s""""scaling_efficiency":${fmt((sThr4N / sThrN) / 4.0)}}"""))
+    }
+
+    println(render())
   }
 }

@@ -8,6 +8,12 @@ package graft.core
   * sequential oracle provably run "the same shingle/signature config"
   * (BASELINE.json north_rule).
   *
+  * @param bits           SimHash fingerprint width: 64 (production default,
+  *                       north_star) or 128 (the reference's full
+  *                       MurmurHash3_x64_128 layout,
+  *                       /root/reference/EigenWord.cpp:17-26 — stored as a
+  *                       (simhash=hi, simhash_lo=lo) column pair; Hamming
+  *                       verify is bit_count(hi^hi') + bit_count(lo^lo'))
   * @param shingleK       caption word-k-gram size (analogue of per-node
   *                       feature words, SURVEY.md §2.3 G2)
   * @param weights        token-kind → weight; `DEFAULT` fallback mirrors
@@ -31,6 +37,15 @@ package graft.core
   *                       for exact candidate completeness)
   * @param hotBucketCap   bucket size above which salting kicks in (north_rule
   *                       "explicit salting of hot LSH buckets")
+  * @param debugDump      flag-gated debug dump sinks (SURVEY.md §2.1 S5):
+  *                       when true AND an Audit is attached, the pipeline
+  *                       additionally writes `debug_fingerprints` and
+  *                       `debug_cluster_info` tables through the TableIO
+  *                       seam — the analogue of the reference's
+  *                       fingerprints.txt / cset_info.txt text dumps
+  *                       (/root/reference/EigenWord.cpp:47-69,
+  *                       CloneSet.cpp:174-177), as queryable tables instead
+  *                       of driver-local text files
   * @param seed           deterministic seed for MinHash permutations
   *
   * Defaults for shingleK/jaccardTau were picked with `graft.tools.Calibrate`
@@ -43,6 +58,7 @@ package graft.core
   * the Jaccard-verify threshold.
   */
 final case class GraftConfig(
+    bits: Int = 64,
     shingleK: Int = 2,
     weights: Map[String, Int] = GraftConfig.defaultWeights,
     minSpan: Int = 12,
@@ -55,10 +71,14 @@ final case class GraftConfig(
     nBlocks: Int = 4,
     hotBucketCap: Int = 500,
     substringPass: Boolean = true,
+    debugDump: Boolean = false,
     seed: Long = 42L
 ) {
   require(nBlocks > sigmaHigh, "pigeonhole completeness needs nBlocks > sigmaHigh")
   require(minhashK % rowsPerBand == 0, "minhashK must divide into bands")
+  require(bits == 64 || bits == 128, "fingerprint width is 64 (production) or 128 (reference-exact)")
+  require(bits == 64 || nBlocks % 2 == 0,
+    "128-bit mode splits blocks evenly across the (hi, lo) words — nBlocks must be even")
 
   def weightOf(kind: String): Int =
     weights.getOrElse(kind, weights.getOrElse(GraftConfig.Default, 1))

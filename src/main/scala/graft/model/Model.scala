@@ -14,9 +14,11 @@ final case class ImageRow(
 )
 
 /** Per-row fingerprint record — the analogue of the reference FingerPrint
-  * (/root/reference/EigenWord.h:97-129): 64-bit simhash, minhash signature,
-  * char-span (`m_token_num` analogue), and a group key (file analogue, used
-  * by the same/diff-group compare modes).
+  * (/root/reference/EigenWord.h:97-129): simhash (64-bit fingerprint, or
+  * the HI word in 128-bit mode with `simhash_lo` carrying the LO word —
+  * GraftConfig.bits), minhash signature, char-span (`m_token_num`
+  * analogue), and a group key (file analogue, used by the same/diff-group
+  * compare modes).
   */
 final case class FingerprintRow(
     image_id: String,
@@ -24,7 +26,8 @@ final case class FingerprintRow(
     minhash: Array[Long],
     grams: Array[Long], // distinct k-gram hashes, for exact Jaccard verify
     span: Int,
-    group: String
+    group: String,
+    simhash_lo: Long = 0L // 128-bit mode only; 0 in 64-bit mode
 )
 
 final case class VerifiedEdge(a: String, b: String, tier: String, source: String)

@@ -70,7 +70,37 @@ object ReferenceOracle {
     */
   def cluster(items: IndexedSeq[Item], sigma: Int, cfg: GraftConfig,
               onlyDiffGroup: Boolean = false, onlySameGroup: Boolean = false)
+      : (Vector[(String, String)], Vector[Set[String]]) =
+    clusterCore[Item](items, _.id, _.span, _.group,
+      (a, b) => SimHashCore.hamming(a.fingerprint, b.fingerprint),
+      sigma, cfg, onlyDiffGroup, onlySameGroup)
+
+  /** 128-bit item (the reference's full fingerprint width, packed hi/lo per
+    * SimHashCore.simhash128); distance = bitCount(hi^hi') + bitCount(lo^lo').
+    */
+  final case class Item128(id: String, hi: Long, lo: Long, span: Int, group: String = "")
+
+  /** [[cluster]] at the reference's native 128-bit width — same loop, same
+    * span prefilter, Hamming over both words (SimHasher.cpp:195-198 operates
+    * on the full 128-bit bitset).
+    */
+  def cluster128(items: IndexedSeq[Item128], sigma: Int, cfg: GraftConfig,
+                 onlyDiffGroup: Boolean = false, onlySameGroup: Boolean = false)
+      : (Vector[(String, String)], Vector[Set[String]]) =
+    clusterCore[Item128](items, _.id, _.span, _.group,
+      (a, b) => SimHashCore.hamming128((a.hi, a.lo), (b.hi, b.lo)),
+      sigma, cfg, onlyDiffGroup, onlySameGroup)
+
+  private def clusterCore[A](items: IndexedSeq[A], id: A => String, span: A => Int,
+                             group: A => String, ham: (A, A) => Int,
+                             sigma: Int, cfg: GraftConfig,
+                             onlyDiffGroup: Boolean, onlySameGroup: Boolean)
       : (Vector[(String, String)], Vector[Set[String]]) = {
+    def toCompare(a: A, b: A): Boolean =
+      if (!SimHashCore.spanCompatible(span(a), span(b), cfg.spanRatio)) false
+      else if (onlyDiffGroup && group(a) == group(b)) false
+      else if (onlySameGroup && group(a) != group(b)) false
+      else true
     val n = items.length
     val ds = new DisjointSet(n)
     val pairs = Vector.newBuilder[(String, String)]
@@ -80,15 +110,12 @@ object ReferenceOracle {
         var sameSetWithI = List(i)
         var j = i - 1
         while (j >= 0) {
-          if (!ds.isInASet(j) &&
-              checkToCompare(items(i), items(j), cfg, onlyDiffGroup, onlySameGroup)) {
-            val ok = sameSetWithI.forall { m =>
-              SimHashCore.hamming(items(m).fingerprint, items(j).fingerprint) <= sigma
-            }
+          if (!ds.isInASet(j) && toCompare(items(i), items(j))) {
+            val ok = sameSetWithI.forall(m => ham(items(m), items(j)) <= sigma)
             if (ok) {
               sameSetWithI = j :: sameSetWithI
               ds.join(i, j)
-              pairs += ((items(i).id, items(j).id))
+              pairs += ((id(items(i)), id(items(j))))
             }
           }
           j -= 1
@@ -96,7 +123,7 @@ object ReferenceOracle {
       }
       i -= 1
     }
-    (pairs.result(), ds.sets.values.map(_.map(m => items(m).id).toSet).toVector)
+    (pairs.result(), ds.sets.values.map(_.map(m => id(items(m))).toSet).toVector)
   }
 
   /** Dup-pair recall of a predicted clustering vs the oracle's clusters:

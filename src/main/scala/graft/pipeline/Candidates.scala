@@ -32,21 +32,41 @@ import graft.model.FingerprintRow
   */
 object Candidates {
 
-  /** (blockIdx, blockVal, id, simhash, span, group) exploded view. */
-  private def blockView(fps: DataFrame, nBlocks: Int): DataFrame = {
-    // block i covers bits [i*64/n, (i+1)*64/n) — pure column math, codegen'd
-    val blocks = (0 until nBlocks).map { i =>
-      val lo = (i * 64) / nBlocks
-      val hi = ((i + 1) * 64) / nBlocks
-      val width = hi - lo
-      val mask = if (width == 64) -1L else (1L << width) - 1L
-      struct(lit(i).as("blockIdx"),
-        (shiftrightunsigned(col("simhash"), lo).bitwiseAND(lit(mask))).as("blockVal"))
-    }
-    fps.select(col("image_id"), col("simhash"), col("span"), col("group"),
-        explode(array(blocks: _*)).as("b"))
-      .select(col("image_id"), col("simhash"), col("span"), col("group"),
-        col("b.blockIdx"), col("b.blockVal"))
+  /** (blockIdx, blockVal, id, simhash[, simhash_lo], span, group) exploded
+    * view. 64-bit mode: block i covers simhash bits [i*64/n, (i+1)*64/n).
+    * 128-bit mode (cfg.bits == 128, nBlocks even): the first n/2 blocks
+    * split the HI word, the last n/2 the LO word — a disjoint partition of
+    * all 128 bits, so the pigeonhole guarantee (Hamming <= nBlocks-1 ⇒ one
+    * whole block identical) holds over the full 128-bit distance. Pure
+    * column math, codegen'd.
+    */
+  private def blockView(fps: DataFrame, cfg: GraftConfig): DataFrame = {
+    def wordBlocks(word: Column, n: Int, idxOffset: Int): Seq[Column] =
+      (0 until n).map { i =>
+        val lo = (i * 64) / n
+        val hi = ((i + 1) * 64) / n
+        val width = hi - lo
+        val mask = if (width == 64) -1L else (1L << width) - 1L
+        struct(lit(idxOffset + i).as("blockIdx"),
+          (shiftrightunsigned(word, lo).bitwiseAND(lit(mask))).as("blockVal"))
+      }
+    val blocks =
+      if (cfg.bits == 128)
+        wordBlocks(col("simhash"), cfg.nBlocks / 2, 0) ++
+          wordBlocks(col("simhash_lo"), cfg.nBlocks / 2, cfg.nBlocks / 2)
+      else wordBlocks(col("simhash"), cfg.nBlocks, 0)
+    fps.select(col("image_id"), col("simhash"), col("simhash_lo"), col("span"),
+        col("group"), explode(array(blocks: _*)).as("b"))
+      .select(col("image_id"), col("simhash"), col("simhash_lo"), col("span"),
+        col("group"), col("b.blockIdx"), col("b.blockVal"))
+  }
+
+  /** Codegen'd Hamming distance of an l_/r_ pair at the config's width. */
+  private def hammingCol(cfg: GraftConfig): Column = {
+    val hi = bit_count(col("l_simhash").bitwiseXOR(col("r_simhash")))
+    if (cfg.bits == 128)
+      hi + bit_count(col("l_simhash_lo").bitwiseXOR(col("r_simhash_lo")))
+    else hi
   }
 
   /** Generic exact salted self-join on a bucket-keyed view.
@@ -192,10 +212,10 @@ object Candidates {
         if (groupMode) (fps.toDF(), None)
         else {
           val (r, s) = collapseExact(fps.toDF(),
-            Seq(col("simhash"), col("span"), col("group")))
+            Seq(col("simhash"), col("simhash_lo"), col("span"), col("group")))
           (r, Some(s))
         }
-      val keyed = blockView(base, cfg.nBlocks)
+      val keyed = blockView(base, cfg)
       val raw = bucketSelfJoin(keyed, Seq("blockIdx", "blockVal"), cfg.hotBucketCap)
       val groupCond: Column =
         if (onlyDiffGroup) col("l_group") =!= col("r_group")
@@ -203,7 +223,7 @@ object Candidates {
         else lit(true)
       val joined = raw
         .filter(
-          bit_count(col("l_simhash").bitwiseXOR(col("r_simhash"))) <= lit(sigma) &&
+          hammingCol(cfg) <= lit(sigma) &&
           abs(col("l_span") - col("r_span")) <= least(col("l_span"), col("r_span")) * cfg.spanRatio &&
           groupCond)
         .select(col("l_image_id").as("a"), col("r_image_id").as("b"))

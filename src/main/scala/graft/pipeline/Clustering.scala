@@ -44,6 +44,26 @@ object Clustering {
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(true)
     else df.localCheckpoint(true)
 
+  /** Materialize + report which persisted-RDD ids the call created, so the
+    * CC loop can free a batch's blocks once the next batch supersedes it.
+    * (Reliable `checkpoint` writes files instead of blocks — the id set is
+    * then empty and the unpersist is a no-op; file cleanup is the context
+    * cleaner's job.) Without this, every batch's blocks live until the
+    * session ends: repeated CC runs in one session accumulate them and
+    * GC-thrash the JVM (measured 5x wall blow-up on back-to-back runs).
+    */
+  private def materializeTracked(df: DataFrame): (DataFrame, Set[Int]) = {
+    val sc = df.sparkSession.sparkContext
+    val before = sc.getPersistentRDDs.keySet.toSet
+    val out = materialize(df)
+    (out, sc.getPersistentRDDs.keySet.toSet -- before)
+  }
+
+  private def unpersistIds(df: DataFrame, ids: Set[Int]): Unit = {
+    val persisted = df.sparkSession.sparkContext.getPersistentRDDs
+    ids.foreach(id => persisted.get(id).foreach(_.unpersist(false)))
+  }
+
   /** @param edges  (a, b) string-id pairs, each pair once in either order
     * @param vertices single-column "image_id" frame of ALL rows to label
     *                 (singletons keep their own label)
@@ -56,7 +76,7 @@ object Clustering {
     // therefore materialized eagerly — the plan each round is then two scans,
     // constant-size, regardless of round count. (Data-wise these frames are
     // edge-incident rows only — tiny next to the corpus.)
-    val sym = materialize(
+    val (sym, symIds) = materializeTracked(
       edges.select(col("a").as("src"), col("b").as("dst"))
         .unionByName(edges.select(col("b").as("src"), col("a").as("dst")))
         .repartition(col("src")))
@@ -97,14 +117,24 @@ object Clustering {
 
     var iter = 0
     var converged = false
+    // blocks of the superseded batch — freed as soon as the next batch is
+    // materialized (the next batch's plan scans its OWN checkpoint, so the
+    // previous blocks are unreferenced from that point on). The FINAL
+    // batch's blocks back the returned labels and must stay.
+    var prevIds = Set.empty[Int]
     while (!converged && iter < maxIter) {
       val start = labels.withColumn("old", col("label"))
-      val next = materialize(round(round(start)))
+      val (next, nextIds) = materializeTracked(round(round(start)))
       val changed = next.filter(col("label") =!= col("old")).count()
+      unpersistIds(next, prevIds)
+      prevIds = nextIds
       labels = next.select("vid", "label")
       converged = changed == 0
       iter += 2 // two propagation rounds per batch
     }
+    // sym is only referenced inside the loop rounds; the returned plan
+    // bottoms out at the final batch's checkpoint + the caller's vertices
+    unpersistIds(sym, symIds)
     if (!converged)
       System.err.println(s"[graft] WARNING: connectedComponents hit maxIter=$maxIter " +
         "with labels still changing — components with diameter > 2^maxIter may be " +
@@ -144,8 +174,28 @@ object Clustering {
     * tier up. Tier-split size histogram = groupBy(tier, size) downstream.
     */
   def tieredClusters(vertices: DataFrame,
-                     edgesByTier: Seq[(String, DataFrame)]): DataFrame =
-    edgesByTier.map { case (tier, edges) =>
-      connectedComponents(vertices, edges).labels.withColumn("tier", lit(tier))
+                     edgesByTier: Seq[(String, DataFrame)],
+                     failOnNonConvergence: Boolean = true): DataFrame =
+    tieredClustersResults(vertices, edgesByTier).map { case (tier, cc) =>
+      // surface non-convergence at this level, not just a stderr warning
+      // buried in connectedComponents — a split component is a RECALL bug
+      // the caller must see (round-2 ADVICE)
+      if (!cc.converged) {
+        val msg = s"tieredClusters: tier '$tier' did NOT converge in " +
+          s"${cc.iterations} rounds — components may be returned split"
+        if (failOnNonConvergence) throw new IllegalStateException(msg)
+        else System.err.println(s"[graft] WARNING: $msg")
+      }
+      cc.labels.withColumn("tier", lit(tier))
     }.reduce(_.unionByName(_))
+
+  /** Per-tier CC runs with full [[CCResult]]s (iterations + converged flag)
+    * for callers that need the convergence state per tier.
+    */
+  def tieredClustersResults(vertices: DataFrame,
+                            edgesByTier: Seq[(String, DataFrame)])
+      : Seq[(String, CCResult)] =
+    edgesByTier.map { case (tier, edges) =>
+      tier -> connectedComponents(vertices, edges)
+    }
 }

@@ -130,6 +130,26 @@ object DedupPipeline {
       Clustering.clusterStats(clusters, fpsDf)
     }).getOrElse(Clustering.clusterStats(clusters, fpsDf))
 
+    // S5 debug dump sinks (flag-gated; reference fingerprints.txt /
+    // cset_info.txt analogues, /root/reference/EigenWord.cpp:47-69,
+    // CloneSet.cpp:174-177): queryable tables through the TableIO seam
+    // instead of driver-local text files — per-row fingerprint listing and
+    // per-member clone-set listing (multi-member sets only, like the
+    // reference which never prints singletons). Flat rows, no collect —
+    // scales like any other stage output.
+    if (cfg.debugDump) audit.foreach { a =>
+      val hexFp = lpad(hex(col("simhash")), 16, "0").as("simhash_hex")
+      a.stage("debug_fingerprints") {
+        fpsDf.select(col("image_id"), hexFp, col("span"),
+          size(col("grams")).as("n_grams"), col("group"))
+      }
+      a.stage("debug_cluster_info") {
+        dupClusters(clusters)
+          .join(fpsDf.select(col("image_id"), hexFp, col("span")), "image_id")
+          .select("cluster_id", "cluster_size", "image_id", "simhash_hex", "span")
+      }
+    }
+
     val iters =
       if (ccIters >= 0) ccIters
       else audit.flatMap { a => // resumed run: closure skipped, read the ledger

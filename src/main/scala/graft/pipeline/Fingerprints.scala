@@ -32,13 +32,20 @@ object Fingerprints {
                     cfg: GraftConfig, perms: Array[Long]): FingerprintRow = {
     val norm = Shingling.normalize(caption)
     val sh = Shingling.shingles(norm, phash, cfg)
-    val sums = new Array[Int](64)
-    var i = 0
-    while (i < sh.length) { SimHashCore.addShingle64(sums, sh(i).word, sh(i).weight); i += 1 }
-    val simhash = SimHashCore.finish64(sums)
+    val (simhash, simhashLo) =
+      if (cfg.bits == 128)
+        // reference-exact 128-bit layout (SimHashCore.simhash128 — the same
+        // core the fidelity goldens pin), packed as a (hi, lo) column pair
+        SimHashCore.simhash128(sh.iterator.map(s => (s.word, s.weight)))
+      else {
+        val sums = new Array[Int](64)
+        var i = 0
+        while (i < sh.length) { SimHashCore.addShingle64(sums, sh(i).word, sh(i).weight); i += 1 }
+        (SimHashCore.finish64(sums), 0L)
+      }
     val grams = Shingling.minhashTokenHashes(norm, cfg)
     val sig = MinHashCore.signature(grams, perms)
-    FingerprintRow(imageId, simhash, sig, grams.sorted, Shingling.span(norm), group)
+    FingerprintRow(imageId, simhash, sig, grams.sorted, Shingling.span(norm), group, simhashLo)
   }
 
   /** Fingerprint stage: reads ONLY (image_id, caption, phash[, group]) —

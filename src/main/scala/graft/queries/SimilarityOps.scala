@@ -106,9 +106,10 @@ object SimilarityOps {
     (sig +: (if (radius >= 1) r1 else Seq.empty)) ++ r2
   }
 
-  /** Multi-table, multi-probe LSH cosine top-k: queries are vec_id % 50 == 0
-    * (same query set as the brute-force baseline so recall is directly
-    * measurable; ValueParitySpec asserts recall >= 0.9 vs sim_cosine_topk).
+  /** Multi-table, multi-probe LSH cosine top-k of each query vector against
+    * the embeddings corpus. `queries` is any (vec_id, embedding) frame — a
+    * filtered subset of the corpus (self-search, a query's own row is
+    * excluded by id) or an external query set.
     *
     * Parameter note: per-plane agreement for a neighbor at angle θ is
     * p = 1 − θ/π; per-table hit with radius-2 probing is
@@ -117,7 +118,8 @@ object SimilarityOps {
     * corpus's weak cos≈0.27 neighbors; production data with cos≥0.7
     * neighbors sustains much larger P (smaller buckets) at the same L.
     */
-  def annLsh(embeddings: DataFrame, nPlanes: Int, topK: Int, nTables: Int = 8,
+  def annLsh(embeddings: DataFrame, queries: DataFrame, nPlanes: Int,
+             topK: Int, nTables: Int = 8,
              probeRadius: Int = 2, seed: Long = 42L): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
@@ -130,8 +132,8 @@ object SimilarityOps {
     }.toDF("vec_id", "t", "bucket")
 
     // query side: own bucket + all Hamming-1 probe buckets per table
-    val queryKeys = base
-      .filter(_._1 % 50 == 0)
+    val queryKeys = queries.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
       .flatMap { case (id, emb) =>
         (0 until nTables).flatMap { t =>
           val sig = signatureOf(emb, t, nPlanes, seed)
@@ -146,8 +148,9 @@ object SimilarityOps {
 
     // exact cosine re-rank of the candidate set only
     val e = withNorm(embeddings)
+    val eq = withNorm(queries)
     val scored = pairCosine(cand
-        .join(e.select(col("vec_id").as("qid"), col("embedding").as("ae"),
+        .join(eq.select(col("vec_id").as("qid"), col("embedding").as("ae"),
           col("nrm").as("an")), "qid")
         .join(e.select(col("vec_id"), col("embedding").as("be"), col("nrm").as("bn")),
           "vec_id")
