@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.GraftConfig
+import graft.streaming.{StreamingDedup, StreamingIngest}
+
+/** Streaming stateful exact-dedup (flatMapGroupsWithState): arriving rows
+  * are deduped against ALL previously-seen fingerprints, and the per-key
+  * state survives a query restart through the checkpoint (the streaming
+  * analogue of the batch resume contract).
+  */
+class StreamingDedupSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  val cfg = GraftConfig()
+
+  private def imageRows(rows: Seq[(String, String)]) =
+    rows.toDF("image_id", "caption")
+      .selectExpr("image_id", "CAST(null AS BINARY) AS bytes", "0 AS w", "0 AS h",
+        "'png' AS fmt", "caption", "CAST(0 AS BIGINT) AS phash")
+
+  test("cross-batch duplicate suppression with state recovery across restarts") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sdedup").toString
+    val src = s"$tmp/src"; val out = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
+    val capA = "a bright red vintage car parked beside the harbor wall"
+    val capB = "two small dogs chasing a yellow ball across wet grass"
+    val capC = "an old stone bridge crossing a quiet forest stream"
+
+    def runPass(): Unit = {
+      val fps = StreamingIngest.fingerprintStream(spark, src, cfg)
+        .as[graft.model.FingerprintRow]
+      val q = StreamingDedup.dedupAgainstState(fps).writeStream
+        .format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+    }
+
+    // batch 1: capA twice, capB once
+    imageRows(Seq("a1" -> capA, "a2" -> capA, "b1" -> capB))
+      .write.mode("append").parquet(src)
+    runPass()
+    val pass1 = spark.read.parquet(out).collect()
+      .map(r => r.getAs[String]("image_id") ->
+        ((r.getAs[Boolean]("first_seen"), r.getAs[Long]("n_seen_before")))).toMap
+    assert(pass1("a1") === ((true, 0L)))
+    assert(pass1("a2") === ((false, 1L))) // within-batch duplicate
+    assert(pass1("b1") === ((true, 0L)))
+
+    // batch 2 (NEW query, same checkpoint): capA again + a fresh capC —
+    // the a3 duplicate is only caught if the state store recovered
+    imageRows(Seq("a3" -> capA, "c1" -> capC))
+      .write.mode("append").parquet(src)
+    runPass()
+    val pass2 = spark.read.parquet(out).collect()
+      .map(r => r.getAs[String]("image_id") ->
+        ((r.getAs[Boolean]("first_seen"), r.getAs[Long]("n_seen_before")))).toMap
+    assert(pass2.size === 5, "exactly the five rows, no reprocessing of batch 1")
+    assert(pass2("a3") === ((false, 2L)), "cross-restart duplicate must be flagged")
+    assert(pass2("c1") === ((true, 0L)))
+  }
+
+  test("batch-mode parity: same operator runs on a static Dataset") {
+    val fps = graft.pipeline.Fingerprints.compute(
+      imageRows(Seq("x1" -> "a bright red vintage car parked beside the harbor wall",
+        "x2" -> "a bright red vintage car parked beside the harbor wall",
+        "y1" -> "two small dogs chasing a yellow ball across wet grass")), cfg)
+    val got = StreamingDedup.dedupAgainstState(fps).collect()
+      .map(e => e.image_id -> ((e.first_seen, e.n_seen_before))).toMap
+    assert(got === Map("x1" -> ((true, 0L)), "x2" -> ((false, 1L)), "y1" -> ((true, 0L))))
+  }
+}
