@@ -117,6 +117,75 @@ object ImageOps {
     if (mse == 0) Double.PositiveInfinity else 10 * math.log10(255.0 * 255.0 / mse)
   }
 
+  final case class ResizedImage(
+      image_id: String, bytes: Array[Byte], w: Int, h: Int, fmt: String, ok: Boolean)
+
+  /** REAL resize (in-JDK Graphics2D bilinear), preserving aspect ratio to
+    * fit within `maxSide` — the standard thumbnail/normalize step before
+    * batch feature extraction. Runs in mapPartitions; input and output are
+    * binary columns, so the stage composes with [[decodeMeta]] and any
+    * downstream embedding UDF. Rows that fail to decode pass through with
+    * `ok = false` (same non-fatal contract as decode).
+    */
+  def resize(images: DataFrame, maxSide: Int): Dataset[ResizedImage] = {
+    val spark = images.sparkSession
+    import spark.implicits._
+    images.select(col("image_id"), col("bytes")).as[(String, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          try {
+            val img = ImageIO.read(new ByteArrayInputStream(bytes))
+            if (img == null) ResizedImage(id, Array.empty, -1, -1, "png", ok = false)
+            else {
+              val scale = math.min(1.0, maxSide.toDouble / math.max(img.getWidth, img.getHeight))
+              val (nw, nh) = (math.max(1, (img.getWidth * scale).round.toInt),
+                math.max(1, (img.getHeight * scale).round.toInt))
+              val out = new java.awt.image.BufferedImage(nw, nh,
+                java.awt.image.BufferedImage.TYPE_INT_RGB)
+              val g = out.createGraphics()
+              g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+                java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+              g.drawImage(img, 0, 0, nw, nh, null)
+              g.dispose()
+              val bos = new java.io.ByteArrayOutputStream()
+              ImageIO.write(out, "png", bos)
+              ResizedImage(id, bos.toByteArray, nw, nh, "png", ok = true)
+            }
+          } catch {
+            case _: Throwable => ResizedImage(id, Array.empty, -1, -1, "png", ok = false)
+          }
+        }
+      }
+  }
+
+  final case class FrameSample(
+      media_id: String, frame_idx: Int, ts_ms: Long, frame_hash: Long, stub: Boolean)
+
+  /** STUB: video frame sampling (1 row per sampled frame). Real video
+    * codecs are not in this container; the deterministic placeholder
+    * derives per-frame pseudo-hashes from the payload so the Spark shape —
+    * binary column in, EXPLODED per-frame rows out (the row-amplifying
+    * part that matters for partition sizing at scale) — is real and
+    * testable. Swap the body for a real demuxer (e.g. jcodec) in
+    * production; everything downstream (per-frame phash dedup) is already
+    * the image pipeline.
+    */
+  def frameSampleStub(media: DataFrame, everyMs: Long, maxFrames: Int): Dataset[FrameSample] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("image_id"), col("bytes")).as[(String, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          val fakeDurationMs = 1000L + (math.abs(graft.core.Murmur3x64.hash64(bytes, 11L)) % 9000L)
+          val n = math.min(maxFrames.toLong, fakeDurationMs / everyMs + 1).toInt
+          (0 until n).map { i =>
+            FrameSample(id, i, i * everyMs,
+              graft.core.Murmur3x64.hash64(bytes, 1000L + i), stub = true)
+          }
+        }
+      }
+  }
+
   final case class AudioMeta(media_id: String, n_samples: Long, rms: Double, stub: Boolean)
 
   /** STUB: audio feature extraction. Real codecs are not available in this

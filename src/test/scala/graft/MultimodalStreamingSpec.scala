@@ -31,6 +31,39 @@ class MultimodalSpec extends AnyFunSuite {
     assert(meta.length === 2 && meta.forall(!_.decode_ok))
   }
 
+  test("resize produces in-bounds decodable thumbnails preserving aspect ratio") {
+    val sample = corpus._1.limit(10)
+    val resized = ImageOps.resize(sample, maxSide = 16).collect()
+    assert(resized.nonEmpty && resized.forall(_.ok))
+    val origDims = sample.select("image_id", "w", "h").collect()
+      .map(r => r.getString(0) -> ((r.getInt(1), r.getInt(2)))).toMap
+    resized.foreach { r =>
+      assert(math.max(r.w, r.h) <= 16)
+      val (ow, oh) = origDims(r.image_id)
+      // aspect preserved within integer rounding
+      assert(math.abs(r.w.toDouble / r.h - ow.toDouble / oh) < 0.35, r.image_id)
+      // output is itself decodable — the stage composes with decodeMeta
+      val back = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.bytes))
+      assert(back != null && back.getWidth === r.w && back.getHeight === r.h)
+    }
+  }
+
+  test("frame-sample stub explodes deterministic per-frame rows") {
+    val sample = corpus._1.limit(10)
+    val a = ImageOps.frameSampleStub(sample, everyMs = 500, maxFrames = 8).collect()
+    val b = ImageOps.frameSampleStub(sample, everyMs = 500, maxFrames = 8).collect()
+    assert(a.map(f => (f.media_id, f.frame_idx, f.frame_hash)).toSet ===
+      b.map(f => (f.media_id, f.frame_idx, f.frame_hash)).toSet)
+    assert(a.forall(_.stub))
+    val perMedia = a.groupBy(_.media_id)
+    assert(perMedia.size === 10)
+    perMedia.values.foreach { fs =>
+      assert(fs.length >= 2 && fs.length <= 8)
+      assert(fs.map(_.frame_idx).sorted.toSeq === (0 until fs.length))
+      assert(fs.forall(f => f.ts_ms === f.frame_idx * 500L))
+    }
+  }
+
   test("audio stub produces stable deterministic features over binary payloads") {
     val a = ImageOps.audioFeaturesStub(corpus._1.limit(20)).collect()
     val b = ImageOps.audioFeaturesStub(corpus._1.limit(20)).collect()
