@@ -287,6 +287,26 @@ object Queries {
         .select(col("stage"), col("rows_out"))
         .orderBy("stage")
     }),
+    "dedup_stream_flags" -> ((s, dir) => {
+      // §2.9: the streaming stateful exact-dedup operator
+      // (StreamingDedup.dedupAgainstState, flatMapGroupsWithState) run in
+      // batch mode — first_seen / n_seen_before per exact-text identity,
+      // deterministic within a key by STRING image_id order. SQL-checkable:
+      // row_number() over (partition by text order by doc_id-as-string).
+      import s.implicits._
+      val fps = documents(s, dir).select("doc_id", "text")
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          graft.model.FingerprintRow(id.toString,
+            Murmur3x64.hash64(text, SimHashCore.Seed),
+            Array.empty[Long], Array.empty[Long], text.length, "")
+        }
+      graft.streaming.StreamingDedup.dedupAgainstState(fps)
+        .toDF()
+        .select(col("image_id").cast("long").as("doc_id"),
+          col("first_seen"), col("n_seen_before"))
+        .orderBy("doc_id")
+    }),
     "grouped_simhash" -> ((s, dir) => {
       // file-based fingerprint mode analogue (G6): one simhash per source
       Fingerprints.groupedSimhash(
@@ -497,6 +517,13 @@ object Queries {
       """SELECT sz AS group_size, count(*) AS n_groups FROM (
         |  SELECT md5(text) AS fp, count(*) AS sz FROM documents GROUP BY 1)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "dedup_stream_flags" ->
+      """SELECT doc_id, rn = 1 AS first_seen, CAST(rn - 1 AS BIGINT) AS n_seen_before
+        |FROM (SELECT doc_id,
+        |        row_number() OVER (PARTITION BY text
+        |                           ORDER BY CAST(doc_id AS VARCHAR)) AS rn
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin,
     "dedup_ngram_jaccard" -> jaccardSql(
       "SELECT da, db, j FROM jpairs WHERE j >= 0.5 ORDER BY da, db"),
     "dedup_pair_degree" -> jaccardSql(
