@@ -371,8 +371,12 @@ object Bench {
       SyntheticImages.materialize(s2, sweepDir, sweepFamilies)
       val nSweep = s2.read.parquet(s"$sweepDir/images").count()
       s2.stop()
-      // no extra warm-up: the JVM is hot from the standard legs
-      legPair(nCores, n4Cores, sweepDir, 1, warm = false, budgetLeft _,
+      // no extra warm-up (the JVM is hot from the standard legs); 2 reps
+      // min-per-level when budget allows — a single sweep draw can land a
+      // leg in the pathological placement mode (measured raw eff 0.81 and
+      // 0.06 on identical back-to-back sweep runs, with the inflated leg
+      // flipping sides; the work-corrected field stayed 0.87/0.78)
+      legPair(nCores, n4Cores, sweepDir, 2, warm = false, budgetLeft _,
         (swN, sw4N) => {
           val sEff = ((nSweep / sw4N.wall) / (nSweep / swN.wall)) / 4.0
           put("sweep" -> (
