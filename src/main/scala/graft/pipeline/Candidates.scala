@@ -138,13 +138,20 @@ object Candidates {
     *
     * @return (representatives, starEdges(a=rep, b=member))
     */
-  def collapseExact(fps: DataFrame, keyCols: Seq[Column]): (DataFrame, DataFrame) = {
-    import org.apache.spark.sql.expressions.Window
-    // Partition on the ACTUAL key columns — a 64-bit hash of the key would
+  def collapseExact(fps: DataFrame, keyCols: Seq[String]): (DataFrame, DataFrame) = {
+    // Group on the ACTUAL key columns — a 64-bit hash of the key would
     // manufacture false "identical" rows on collision, which at 10^12 rows is
     // a certainty (birthday bound), and each one silently fuses two clusters.
-    val w = Window.partitionBy(keyCols: _*)
-    val tagged = fps.withColumn("rep_id", min("image_id").over(w))
+    //
+    // Representative = groupBy + min, NOT a window over the key: min() has
+    // map-side partial aggregation, so a mega-identity-group (the very thing
+    // this stage exists to defuse) reduces to one row per input partition
+    // before the shuffle. A Window.partitionBy(key) would instead ship ALL
+    // rows of the group to one window task — a single-task hot spot at
+    // scale. The join-back is an equi-join against a one-row-per-key frame
+    // (broadcast or AQE-skew-split SMJ — either way no per-task buffering).
+    val repMin = fps.groupBy(keyCols.map(col): _*).agg(min("image_id").as("rep_id"))
+    val tagged = fps.join(repMin, keyCols)
     val reps = tagged.filter(col("image_id") === col("rep_id")).drop("rep_id")
     val star = tagged.filter(col("image_id") =!= col("rep_id"))
       .select(col("rep_id").as("a"), col("image_id").as("b"))
@@ -212,7 +219,7 @@ object Candidates {
         if (groupMode) (fps.toDF(), None)
         else {
           val (r, s) = collapseExact(fps.toDF(),
-            Seq(col("simhash"), col("simhash_lo"), col("span"), col("group")))
+            Seq("simhash", "simhash_lo", "span", "group"))
           (r, Some(s))
         }
       val keyed = blockView(base, cfg)
@@ -248,7 +255,7 @@ object Candidates {
                 expandPairs: Boolean = false): DataFrame = {
     // collapse identical gram sets (Jaccard 1 by construction) to one
     // representative each — a mega-group of equal captions costs O(|group|)
-    val (reps, star) = collapseExact(fps.toDF(), Seq(col("grams")))
+    val (reps, star) = collapseExact(fps.toDF(), Seq("grams"))
     val keyed = reps
       .select(col("image_id"),
         posexplode(bandKeyCol(cfg)).as(Seq("bandIdx", "bandKey")))

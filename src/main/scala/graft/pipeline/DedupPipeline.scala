@@ -138,7 +138,12 @@ object DedupPipeline {
     // reference which never prints singletons). Flat rows, no collect —
     // scales like any other stage output.
     if (cfg.debugDump) audit.foreach { a =>
-      val hexFp = lpad(hex(col("simhash")), 16, "0").as("simhash_hex")
+      // 128-bit mode: full 32-char fingerprint (hi ++ lo) — hexing only the
+      // hi word would make the dump lossy vs the reference's fingerprints.txt
+      val hexHi = lpad(hex(col("simhash")), 16, "0")
+      val hexFp = (if (cfg.bits == 128)
+        concat(hexHi, lpad(hex(col("simhash_lo")), 16, "0"))
+      else hexHi).as("simhash_hex")
       a.stage("debug_fingerprints") {
         fpsDf.select(col("image_id"), hexFp, col("span"),
           size(col("grams")).as("n_grams"), col("group"))

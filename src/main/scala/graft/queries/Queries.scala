@@ -58,24 +58,61 @@ object Queries {
     * fingerprint + two-CC recomputation (round-2 bench: 26.6 s + 14.0 s for
     * what is one computation plus a 0.1 s aggregate).
     */
-  private val tieredCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private val tieredCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (DataFrame, Seq[Int])]()
+
+  /** Run `f`, returning its value plus the ids of every RDD it left
+    * persisted (localCheckpoint blocks) — the eviction handle. Snapshot
+    * diff, not instrumentation: callers build their whole frame inside.
+    */
+  private def trackPersists[T](s: SparkSession)(f: => T): (T, Seq[Int]) = {
+    val before = s.sparkContext.getPersistentRDDs.keySet
+    val v = f
+    (v, (s.sparkContext.getPersistentRDDs.keySet -- before).toSeq)
+  }
+
+  /** Free BOTH shared caches: unpersist the localCheckpoint blocks backing
+    * each tiered frame and delete each audited run's temp tables —
+    * `clear()` alone drops the map entries but leaks the blocks/dirs
+    * (round-3 VERDICT #5). Safe to call between bench runs.
+    */
+  def freeSharedCaches(): Unit = {
+    tieredCache.forEach { (k, v) =>
+      val sc = k._1.sparkContext
+      if (!sc.isStopped)
+        v._2.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+    }
+    tieredCache.clear()
+    auditedCache.forEach { (k, v) =>
+      val sc = k._1.sparkContext
+      if (!sc.isStopped)
+        v._2.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+      scala.util.Try {
+        val root = java.nio.file.Paths.get(v._1._3)
+        java.nio.file.Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+      }
+    }
+    auditedCache.clear()
+  }
 
   private def tieredFrame(s: SparkSession, dir: String): DataFrame = {
-    if (tieredCache.size > 8) tieredCache.clear() // bound stale-session entries
+    if (tieredCache.size > 8) freeSharedCaches() // bound stale-session entries
     tieredCache.computeIfAbsent((s, dir), { _ =>
-      import s.implicits._
-      val fps = Fingerprints.compute(docsAsImages(s, dir), docCfg)
-      // lineage cut: the fingerprint stage is referenced by both tiers'
-      // generators (plan-explosion gotcha)
-      val fpsC = fps.toDF().localCheckpoint(true).as[FingerprintRow]
-      val vertices = fpsC.toDF().select("image_id")
-      val tiers = Seq(
-        "high" -> Candidates.simhashPairs(fpsC, docCfg, sigmaTierHigh),
-        "normal" -> Candidates.simhashPairs(
-          fpsC, docCfg.copy(nBlocks = 8), sigmaTierNormal))
-      Clustering.tieredClusters(vertices, tiers).localCheckpoint(true)
-    })
+      trackPersists(s) {
+        import s.implicits._
+        val fps = Fingerprints.compute(docsAsImages(s, dir), docCfg)
+        // lineage cut: the fingerprint stage is referenced by both tiers'
+        // generators (plan-explosion gotcha)
+        val fpsC = fps.toDF().localCheckpoint(true).as[FingerprintRow]
+        val vertices = fpsC.toDF().select("image_id")
+        val tiers = Seq(
+          "high" -> Candidates.simhashPairs(fpsC, docCfg, sigmaTierHigh),
+          "normal" -> Candidates.simhashPairs(
+            fpsC, docCfg.copy(nBlocks = 8), sigmaTierNormal))
+        Clustering.tieredClusters(vertices, tiers).localCheckpoint(true)
+      }
+    })._1
   }
 
   /** The audited full-pipeline run, computed ONCE per (session, dir) and
@@ -86,17 +123,20 @@ object Queries {
     * one computation's worth of work).
     */
   private val auditedCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), (DedupPipeline.Result, graft.pipeline.Audit)]()
+    (SparkSession, String), ((DedupPipeline.Result, graft.pipeline.Audit, String), Seq[Int])]()
 
   private def auditedRun(s: SparkSession, dir: String)
       : (DedupPipeline.Result, graft.pipeline.Audit) = {
-    if (auditedCache.size > 8) auditedCache.clear() // bound stale-session entries
-    auditedCache.computeIfAbsent((s, dir), { _ =>
-      val work = java.nio.file.Files.createTempDirectory("graft-audit-q").toString
-      val audit = new graft.pipeline.Audit(s, work, runId = "audit_q")
-      val res = DedupPipeline.run(docsAsImages(s, dir), docCfg, audit = Some(audit))
-      (res, audit)
+    if (auditedCache.size > 8) freeSharedCaches() // bound stale-session entries
+    val (v, _) = auditedCache.computeIfAbsent((s, dir), { _ =>
+      trackPersists(s) {
+        val work = java.nio.file.Files.createTempDirectory("graft-audit-q").toString
+        val audit = new graft.pipeline.Audit(s, work, runId = "audit_q")
+        val res = DedupPipeline.run(docsAsImages(s, dir), docCfg, audit = Some(audit))
+        (res, audit, work)
+      }
     })
+    (v._1, v._2)
   }
 
   // ---------------------------------------------------------------- queries
@@ -290,18 +330,15 @@ object Queries {
     "dedup_stream_flags" -> ((s, dir) => {
       // §2.9: the streaming stateful exact-dedup operator
       // (StreamingDedup.dedupAgainstState, flatMapGroupsWithState) run in
-      // batch mode — first_seen / n_seen_before per exact-text identity,
-      // deterministic within a key by STRING image_id order. SQL-checkable:
-      // row_number() over (partition by text order by doc_id-as-string).
-      import s.implicits._
-      val fps = documents(s, dir).select("doc_id", "text")
-        .as[(Long, String)]
-        .map { case (id, text) =>
-          graft.model.FingerprintRow(id.toString,
-            Murmur3x64.hash64(text, SimHashCore.Seed),
-            Array.empty[Long], Array.empty[Long], text.length, "")
-        }
-      graft.streaming.StreamingDedup.dedupAgainstState(fps)
+      // batch mode — first_seen / n_seen_before per exact-text identity
+      // (both murmur128 words — 64-bit state keys birthday-collide at
+      // 10^12-row scale), deterministic within a key by STRING image_id
+      // order. SQL-checkable: row_number() over (partition by text order
+      // by doc_id-as-string).
+      val rows = graft.streaming.StreamingDedup.contentRows(
+        documents(s, dir).select(
+          col("doc_id").cast("string").as("image_id"), col("text").as("caption")))
+      graft.streaming.StreamingDedup.dedupAgainstState(rows)
         .toDF()
         .select(col("image_id").cast("long").as("doc_id"),
           col("first_seen"), col("n_seen_before"))

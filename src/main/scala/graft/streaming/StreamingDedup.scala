@@ -1,63 +1,106 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
-import graft.model.FingerprintRow
+import graft.core.{Murmur3x64, SimHashCore}
 
 /** Streaming stateful exact-dedup (custom state via flatMapGroupsWithState).
   *
   * The batch pipeline dedups a corpus it can see whole; a streaming ingest
   * must dedup each arriving row against EVERYTHING seen so far. State is
-  * keyed by the exact content fingerprint (simhash + span — the same
-  * identity [[graft.pipeline.Candidates.collapseExact]] collapses on) and
-  * holds one Long per distinct fingerprint: how many rows carried it so
-  * far. Each row is emitted with `first_seen` (this fingerprint was never
-  * seen before → keep for training) and `n_seen_before` (duplicates
-  * suppressed so far → audit metric).
+  * keyed by a FULL 128-bit content identity — both murmur3_x64_128 words of
+  * the (caption, phash) pair plus the span — NOT by the 64-bit simhash: a
+  * 64-bit state key at 10^12 rows collides by the birthday bound (the same
+  * argument [[graft.pipeline.Candidates.collapseExact]] documents for the
+  * batch collapse), and here a collision silently marks DISTINCT content
+  * `first_seen = false` — dropped training data. (Worse, the simhash is
+  * locality-sensitive by design: two different captions at Hamming 0 would
+  * fuse even without hash collisions.) At 2^128 the birthday bound needs
+  * ~10^19 rows before a single expected collision.
   *
-  * Scale shape: state is hash-partitioned by fingerprint across executors
-  * (one shuffle per micro-batch — unavoidable for exact cross-batch
-  * dedup), one Long per DISTINCT fingerprint, and survives restarts via
-  * the query's checkpointLocation (the streaming analogue of the batch
-  * resume contract; tested by running two AvailableNow passes over a
-  * growing directory with a shared checkpoint).
+  * State holds one Long per distinct content identity: how many rows
+  * carried it so far. Each row is emitted with `first_seen` (this content
+  * was never seen before → keep for training) and `n_seen_before`
+  * (duplicates suppressed so far → audit metric).
+  *
+  * Scale shape: state is hash-partitioned by content key across executors
+  * (one shuffle per micro-batch — unavoidable for exact cross-batch dedup),
+  * one Long per DISTINCT identity, and survives restarts via the query's
+  * checkpointLocation (the streaming analogue of the batch resume
+  * contract; tested by running two AvailableNow passes over a growing
+  * directory with a shared checkpoint). Within a batch the operator buffers
+  * ONLY the group's image_ids (needed for the deterministic
+  * by-image_id-order emission the SQL oracle pins) — a mega-group of
+  * identical content costs |group| id strings on one task per micro-batch,
+  * not |group| full rows with their signature arrays.
   */
 object StreamingDedup {
 
+  /** The operator's input: a row reduced to its 128-bit content identity. */
+  final case class ContentRow(
+      image_id: String,
+      content_hi: Long,
+      content_lo: Long,
+      span: Int
+  )
+
   final case class DedupEmit(
       image_id: String,
-      simhash: Long,
+      content_hi: Long,
+      content_lo: Long,
       span: Int,
       first_seen: Boolean,
       n_seen_before: Long
   )
 
-  /** (simhash, simhash_lo, span) → count seen so far; rows within a batch
-    * are processed in image_id order so emission is deterministic.
+  /** Map an image frame (streaming or batch) with (image_id, caption
+    * [, phash]) columns to content-identity rows: both 128-bit murmur words
+    * of the caption with the phash mixed in (reference shingle seed —
+    * /root/reference/EigenWord.h:23). Identity is over the RAW caption:
+    * exact dedup means byte-equal content, matching the SQL oracle's
+    * `PARTITION BY text`.
+    */
+  def contentRows(images: DataFrame): Dataset[ContentRow] = {
+    val spark = images.sparkSession
+    import spark.implicits._
+    val phashCol =
+      if (images.columns.contains("phash")) col("phash") else lit(0L)
+    images.select(col("image_id"), col("caption"), phashCol.as("phash"))
+      .as[(String, String, Long)]
+      .map { case (id, cap, ph) =>
+        // injective framing: ':' cannot appear in the decimal phash,
+        // so (caption, phash) is uniquely recoverable from the hashed string
+        val (hi, lo) = Murmur3x64.hash128(cap + ":" + ph.toString, SimHashCore.Seed)
+        ContentRow(id, hi, lo, cap.length)
+      }
+  }
+
+  /** (content_hi, content_lo, span) → count seen so far; rows within a
+    * batch are emitted in image_id order so emission is deterministic.
     */
   private def dedupGroup(
       key: (Long, Long, Int),
-      rows: Iterator[FingerprintRow],
+      rows: Iterator[ContentRow],
       state: GroupState[Long]): Iterator[DedupEmit] = {
-    var seen = state.getOption.getOrElse(0L)
-    val out = rows.toSeq.sortBy(_.image_id).map { r =>
-      val e = DedupEmit(r.image_id, r.simhash, r.span, seen == 0L, seen)
-      seen += 1
-      e
+    val start = state.getOption.getOrElse(0L)
+    // narrow buffer: ids only (see scaladoc — bounded at |group| strings)
+    val ids = rows.map(_.image_id).toArray.sorted
+    state.update(start + ids.length)
+    ids.iterator.zipWithIndex.map { case (id, i) =>
+      DedupEmit(id, key._1, key._2, key._3, start + i == 0L, start + i)
     }
-    state.update(seen)
-    out.iterator
   }
 
   /** Attach cross-batch first-seen/duplicate flags to a (streaming or
-    * batch) fingerprint Dataset.
+    * batch) content-identity Dataset.
     */
-  def dedupAgainstState(fps: Dataset[FingerprintRow]): Dataset[DedupEmit] = {
+  def dedupAgainstState(rows: Dataset[ContentRow]): Dataset[DedupEmit] = {
     implicit val emitEnc = Encoders.product[DedupEmit]
     implicit val keyEnc = Encoders.product[(Long, Long, Int)]
     implicit val stateEnc = Encoders.scalaLong
-    fps.groupByKey(r => (r.simhash, r.simhash_lo, r.span))
+    rows.groupByKey(r => (r.content_hi, r.content_lo, r.span))
       .flatMapGroupsWithState[Long, DedupEmit](
         OutputMode.Append, GroupStateTimeout.NoTimeout)(dedupGroup)
   }

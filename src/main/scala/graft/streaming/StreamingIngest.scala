@@ -29,6 +29,17 @@ object StreamingIngest {
     Fingerprints.compute(stream, cfg).toDF()
   }
 
+  /** Streaming content-identity ingest for the stateful exact-dedup
+    * operator: readStream over the image table's directory → 128-bit
+    * content rows ([[StreamingDedup.contentRows]] — stateless projection).
+    */
+  def contentStream(spark: SparkSession, sourceDir: String)
+      : org.apache.spark.sql.Dataset[StreamingDedup.ContentRow] = {
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "image_id STRING, bytes BINARY, w INT, h INT, fmt STRING, caption STRING, phash BIGINT")
+    StreamingDedup.contentRows(spark.readStream.schema(schema).parquet(sourceDir))
+  }
+
   /** Watermarked tumbling-window event aggregation (the generic streaming
     * agg shape: counts + value sums per type per window).
     */

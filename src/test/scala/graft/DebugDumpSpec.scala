@@ -58,6 +58,24 @@ class DebugDumpSpec extends AnyFunSuite {
     assert(csDump.forall(_._3 > 1), "cset_info never lists singletons")
   }
 
+  test("128-bit mode dumps the full 32-char fingerprint (hi ++ lo)") {
+    val root = java.nio.file.Files.createTempDirectory("graft-dump128").toString
+    val io = new ParquetTableIO(spark, root)
+    val audit = new Audit(spark, io, runId = "dump128_test")
+    val cfg128 = cfg.copy(bits = 128, nBlocks = 4)
+    val res = DedupPipeline.run(corpus(), cfg128, audit = Some(audit))
+    val fps = res.fingerprints.collect()
+      .map(f => f.image_id -> ((f.simhash, f.simhash_lo))).toMap
+    val fpDump = io.read("debug_fingerprints").collect()
+      .map(r => r.getAs[String]("image_id") -> r.getAs[String]("simhash_hex")).toMap
+    assert(fpDump.keySet === fps.keySet)
+    fpDump.foreach { case (id, hexStr) =>
+      assert(hexStr.length === 32, "both 64-bit words, zero-padded")
+      assert(java.lang.Long.parseUnsignedLong(hexStr.take(16), 16) === fps(id)._1)
+      assert(java.lang.Long.parseUnsignedLong(hexStr.drop(16), 16) === fps(id)._2)
+    }
+  }
+
   test("debugDump=false (default) writes no debug tables") {
     val root = java.nio.file.Files.createTempDirectory("graft-nodump").toString
     val io = new ParquetTableIO(spark, root)

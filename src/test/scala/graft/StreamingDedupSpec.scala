@@ -30,9 +30,8 @@ class StreamingDedupSpec extends AnyFunSuite {
     val capC = "an old stone bridge crossing a quiet forest stream"
 
     def runPass(): Unit = {
-      val fps = StreamingIngest.fingerprintStream(spark, src, cfg)
-        .as[graft.model.FingerprintRow]
-      val q = StreamingDedup.dedupAgainstState(fps).writeStream
+      val rows = StreamingIngest.contentStream(spark, src)
+      val q = StreamingDedup.dedupAgainstState(rows).writeStream
         .format("parquet").option("path", out)
         .option("checkpointLocation", ckpt)
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
@@ -64,12 +63,39 @@ class StreamingDedupSpec extends AnyFunSuite {
   }
 
   test("batch-mode parity: same operator runs on a static Dataset") {
-    val fps = graft.pipeline.Fingerprints.compute(
+    val rows = StreamingDedup.contentRows(
       imageRows(Seq("x1" -> "a bright red vintage car parked beside the harbor wall",
         "x2" -> "a bright red vintage car parked beside the harbor wall",
-        "y1" -> "two small dogs chasing a yellow ball across wet grass")), cfg)
-    val got = StreamingDedup.dedupAgainstState(fps).collect()
+        "y1" -> "two small dogs chasing a yellow ball across wet grass")))
+    val got = StreamingDedup.dedupAgainstState(rows).collect()
       .map(e => e.image_id -> ((e.first_seen, e.n_seen_before))).toMap
     assert(got === Map("x1" -> ((true, 0L)), "x2" -> ((false, 1L)), "y1" -> ((true, 0L))))
+  }
+
+  test("128-bit state key separates a forced 64-bit collision") {
+    // Two DISTINCT contents whose hi word and span collide exactly — the
+    // round-3 (simhash, span) state key would fuse them, silently flagging
+    // the second as a duplicate (dropped training data). The full
+    // (content_hi, content_lo, span) key must keep them apart.
+    val rows = Seq(
+      StreamingDedup.ContentRow("p1", 0x12345678L, 111L, 40),
+      StreamingDedup.ContentRow("p2", 0x12345678L, 222L, 40)).toDS()
+    val got = StreamingDedup.dedupAgainstState(rows).collect()
+      .map(e => e.image_id -> ((e.first_seen, e.n_seen_before))).toMap
+    assert(got === Map("p1" -> ((true, 0L)), "p2" -> ((true, 0L))),
+      "distinct lo words must be distinct state keys")
+  }
+
+  test("contentRows identity: phash participates; raw caption, no normalization") {
+    val a = StreamingDedup.contentRows(imageRows(Seq("i1" -> "same caption text here today"))
+      .withColumn("phash", org.apache.spark.sql.functions.lit(1L))).head()
+    val b = StreamingDedup.contentRows(imageRows(Seq("i2" -> "same caption text here today"))
+      .withColumn("phash", org.apache.spark.sql.functions.lit(2L))).head()
+    assert((a.content_hi, a.content_lo) !== ((b.content_hi, b.content_lo)),
+      "same caption + different phash is different content")
+    val c = StreamingDedup.contentRows(imageRows(Seq("i3" -> "Same  Caption text here today"))).head()
+    val d = StreamingDedup.contentRows(imageRows(Seq("i4" -> "same caption text here today"))).head()
+    assert((c.content_hi, c.content_lo) !== ((d.content_hi, d.content_lo)),
+      "exact dedup is byte-equality of the raw caption (oracle PARTITION BY text)")
   }
 }
