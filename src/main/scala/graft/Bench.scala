@@ -18,25 +18,37 @@ import graft.queries.Queries
   * real cluster 4x executors bring 4x memory channels, GC capacity, and
   * shuffle disks. Inside ONE box only ALU threads multiply: the in-bench
   * probe (`hw_mops_*`, pure-arithmetic thread scaling) is ~linear to 32
-  * threads, yet pipeline executor-task-time inflates ~3.5x at 32 threads
-  * (memory-bandwidth saturation + ~10% hypervisor steal under full load,
+  * threads, yet pipeline executor-task-time can inflate at 32 threads
+  * (memory-bandwidth pressure + hypervisor steal under full load,
   * BENCH.md §hardware) — an 8v32 ratio therefore measures the box's
   * memory subsystem, not the engine's scaling. local[4]→local[16] stays
   * within the box's bandwidth headroom (measured: 16-thread task time ≈
   * 8-thread task time) and is the closest single-box proxy for adding
-  * executors. The 8v32 pair is still emitted (`*_local8`/`*_local32`,
-  * round-1/2 continuity) when the budget allows, followed by a 4x-corpus
-  * sweep at the primary protocol (the W-vs-F asymptote evidence).
+  * executors.
+  *
+  * Measurement order (round-3 VERDICT #1: the sweep is the evidence that
+  * matters — it must land in the driver's artifact, not be shed by the
+  * budget guard):
+  *   1. hardware probes  2. query suite  3. FIRST primary leg pair
+  *   4. 2x-corpus sweep at the primary protocol (the W-vs-F asymptote
+  *      evidence)  5. extra primary reps  6. legacy 8v32 pair.
+  *
+  * Placement quality (round-3 VERDICT #4): leg wall times are BIMODAL on
+  * this VM (the same 16-thread leg measured 44 s and 210 s back-to-back —
+  * hypervisor placement). Every measured run is recorded in the `draws`
+  * grid with per-image core-s; a leg whose task core-s per image exceeds
+  * 2x the session-best clean baseline is flagged `degraded`, and degraded
+  * legs are RE-DRAWN first, before any budget goes to extra reps. The
+  * per-pair `placement_*` fields expose the quality of the kept legs so a
+  * reader cannot mistake a fully inflated draw for engine health.
   *
   * Robustness contract (round-2 regression: the driver's bench timed out
   * and, because JSON was only written at the very end, the round shipped
   * ZERO numbers): results are flushed to SPARK_GRAFT_BENCH_OUT after every
   * query and every pipeline run, so a kill at ANY point leaves a parseable
-  * bench.json with everything measured so far. Optional work (extra reps,
-  * the legacy pair, the sweep) is skipped when SPARK_GRAFT_BENCH_BUDGET_SEC
-  * would be exceeded; the one-measured-run-per-primary-level pair always
-  * runs. Warm-up is JVM-global (1 discarded run per level, first pair
-  * only), then alternating measured reps, per-level minimum.
+  * bench.json with everything measured so far. Warm-up is JVM-global (1
+  * discarded run per level, first pair only), then alternating measured
+  * reps, per-level minimum.
   */
 object Bench {
 
@@ -49,6 +61,23 @@ object Bench {
     */
   private def fmt(d: Double): String =
     String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
+
+  /** Minimal JSON string escaping (backslash, quote, control chars) — a
+    * path with a quote in SPARK_GRAFT_SF_DIR must not break the parse.
+    */
+  private def jstr(s: String): String = {
+    val b = new StringBuilder("\"")
+    s.foreach {
+      case '"'           => b.append("\\\"")
+      case '\\'          => b.append("\\\\")
+      case '\n'          => b.append("\\n")
+      case '\r'          => b.append("\\r")
+      case '\t'          => b.append("\\t")
+      case c if c < ' '  => b.append(f"\\u${c.toInt}%04x")
+      case c             => b.append(c)
+    }
+    b.append('"').toString
+  }
 
   private def render(): String =
     fields.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
@@ -102,6 +131,37 @@ object Bench {
 
   final case class Run(wall: Double, rows: Long, taskSec: Double, gcSec: Double)
 
+  // ---- placement quality (round-3 VERDICT #4) ----
+  // Session-best CLEAN work baseline: min task core-s per image across every
+  // measured run, floored by the documented clean band (BENCH.md: ~200-240
+  // core-s for 257k images ≈ 0.8-0.95 ms/image) so an all-degraded session
+  // still flags itself instead of normalizing to its own pathology. Env
+  // override for future configs whose per-image work legitimately changes.
+  private val cleanPriorMs =
+    sys.env.getOrElse("SPARK_GRAFT_CLEAN_CORE_MS_PER_IMAGE", "0.95").toDouble
+  private var bestMsPerImage = Double.MaxValue
+  private def baselineMs(images: Long): Double =
+    // the absolute prior only applies at protocol-sized corpora — tiny
+    // smoke corpora are dominated by fixed per-stage overhead and would
+    // always read as degraded against it
+    if (cleanPriorMs > 0 && images >= 100000) math.min(bestMsPerImage, cleanPriorMs)
+    else bestMsPerImage
+  private def placement(r: Run, images: Long): String =
+    if (r.taskSec / images * 1000.0 <= 2.0 * baselineMs(images)) "clean" else "degraded"
+
+  /** Full disclosure grid: every measured run (never the warm-ups), with
+    * placement recomputed against the final session baseline on each flush.
+    */
+  private val drawLog =
+    scala.collection.mutable.ArrayBuffer[(String, Int, Long, Run)]()
+  private def drawsJson(): String =
+    drawLog.map { case (leg, cores, images, r) =>
+      s"""{"leg":${jstr(leg)},"cores":$cores,"wall_sec":${fmt(r.wall)},""" +
+      s""""task_core_sec":${fmt(r.taskSec)},"gc_sec":${fmt(r.gcSec)},""" +
+      s""""per_image_core_ms":${fmt(r.taskSec / images * 1000.0)},""" +
+      s""""placement":${jstr(placement(r, images))}}"""
+    }.mkString("[", ",", "]")
+
   /** Wall-time one full dedup-pipeline run at `cores`, in a fresh session. */
   private def run1(cores: Int, corpusDir: String): Run = {
     val (spark, meter) = session(cores)
@@ -124,23 +184,59 @@ object Bench {
     } finally spark.stop()
   }
 
+  /** One measured + disclosed run. */
+  private def measured(label: String, cores: Int, corpusDir: String,
+                       images: Long): Run = {
+    val r = run1(cores, corpusDir)
+    bestMsPerImage = math.min(bestMsPerImage, r.taskSec / images * 1000.0)
+    drawLog += ((label, cores, images, r))
+    put("draws" -> drawsJson())
+    r
+  }
+
   /** One measured leg pair on `corpusDir`: optionally warm once per level
-    * (JIT warm-up is JVM-global — only the first pair of the process warms),
-    * then alternate measured runs, keep the per-level minimum. Every
-    * completed run is reported immediately via `report` (incremental-write
-    * contract). Extra reps run only while they fit the remaining budget.
+    * (JIT warm-up is JVM-global — only the first pair of the process
+    * warms), then alternate measured runs, keep the per-level minimum.
+    * Degraded-draw policy (round-3 VERDICT #1): while a kept leg is in the
+    * degraded placement mode, the remaining budget RE-DRAWS that leg first
+    * — extra reps elsewhere only run once both kept legs are clean. Every
+    * completed run is reported immediately via `report` and logged in the
+    * `draws` grid (incremental-write contract). `initial` continues a pair
+    * measured earlier (used to top up primary reps after the sweep).
     */
-  private def legPair(nCores: Int, n4Cores: Int, corpusDir: String, reps: Int,
+  private def legPair(label: String, nCores: Int, n4Cores: Int,
+                      corpusDir: String, images: Long, reps: Int,
                       warm: Boolean, budgetLeft: () => Double,
-                      report: (Run, Run) => Unit): (Run, Run) = {
+                      report: (Run, Run) => Unit,
+                      initial: Option[(Run, Run)] = None): (Run, Run) = {
     if (warm) { run1(n4Cores, corpusDir); run1(nCores, corpusDir) }
-    var bestN = run1(nCores, corpusDir)
-    var best4N = run1(n4Cores, corpusDir)
+    var (bestN, best4N) = initial.getOrElse {
+      val a = measured(s"$label:n", nCores, corpusDir, images)
+      val b = measured(s"$label:4n", n4Cores, corpusDir, images)
+      (a, b)
+    }
     report(bestN, best4N)
+    var redraws = 0
+    while (redraws < 3 &&
+           (placement(bestN, images) == "degraded" ||
+            placement(best4N, images) == "degraded") &&
+           budgetLeft() > math.max(bestN.wall, best4N.wall) * 1.5) {
+      if (placement(bestN, images) == "degraded") {
+        val a = measured(s"$label:n:redraw", nCores, corpusDir, images)
+        if (a.wall < bestN.wall) bestN = a
+      } else {
+        val b = measured(s"$label:4n:redraw", n4Cores, corpusDir, images)
+        if (b.wall < best4N.wall) best4N = b
+      }
+      report(bestN, best4N)
+      redraws += 1
+    }
     var r = 1
     while (r < reps && budgetLeft() > (bestN.wall + best4N.wall) * 1.3) {
-      val a = run1(nCores, corpusDir); if (a.wall < bestN.wall) bestN = a
-      val b = run1(n4Cores, corpusDir); if (b.wall < best4N.wall) best4N = b
+      val a = measured(s"$label:n", nCores, corpusDir, images)
+      if (a.wall < bestN.wall) bestN = a
+      val b = measured(s"$label:4n", n4Cores, corpusDir, images)
+      if (b.wall < best4N.wall) best4N = b
       report(bestN, best4N)
       r += 1
     }
@@ -151,11 +247,12 @@ object Bench {
     * streamed by `nThreads` threads summing disjoint chunks of a shared
     * 256 MiB long array (~1 s). Spark dedup work is memory-bound (shuffle
     * serde, hashing, string ops), so THIS curve — not the ALU curve — is
-    * the box's ceiling for any multi-thread pipeline ratio: measured
-    * pipeline task-time inflation at 16/32 threads tracks it. A real N→4N
-    * EXECUTOR scale-up multiplies memory channels linearly, so
-    * measured_efficiency / membw_ceiling_efficiency is the engine's own
-    * contribution (BENCH.md §hardware).
+    * the box's ceiling for any multi-thread pipeline ratio. A real N→4N
+    * EXECUTOR scale-up multiplies memory channels linearly, so the
+    * per-thread bandwidth drop from N to 4N threads is the only
+    * HARDWARE-attributable task-time inflation; anything beyond it is the
+    * engine's own (GC, shuffle imbalance) and must not be credited back
+    * (round-3 ADVICE).
     */
   private def membwProbe(nThreads: Int, arr: Array[Long]): Double = {
     val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
@@ -229,10 +326,8 @@ object Bench {
     // floors the measurable scaling ratio; see the sweep in BENCH.md).
     // 120k families = 256,666 images: large enough that W dominates the
     // ~5-10 s serial floor at <=16 threads, small enough that the 16-thread
-    // leg's working set stays inside the box's bandwidth sweet spot
-    // (BENCH.md §hardware: at 513k images the 16-thread leg's task time
-    // inflates a further 2x). Also the round-1 corpus — cross-round
-    // comparable.
+    // leg's working set stays inside the box's bandwidth sweet spot. Also
+    // the round-1 corpus — cross-round comparable.
     val benchFamilies = sys.env.getOrElse("SPARK_GRAFT_BENCH_FAMILIES", "120000").toLong
     val nCores = sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "4").toInt
     val n4Cores = nCores * 4
@@ -240,8 +335,8 @@ object Bench {
       s"/root/repo/target/bench-corpus-$benchFamilies")
     outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/bench.json")
 
-    put("metric" -> "\"total\"", "value" -> "null", "unit" -> "\"sec\"",
-      "queries" -> "{}", "sf" -> ("\"" + sfDir + "\""))
+    put("metric" -> jstr("total"), "value" -> "null", "unit" -> jstr("sec"),
+      "queries" -> "{}", "sf" -> jstr(sfDir))
 
     // hardware context: what the VM's threads actually deliver (~12 s) —
     // ALU scaling (≈ linear here) vs memory-bandwidth scaling (the real
@@ -249,8 +344,15 @@ object Bench {
     val hw = Seq(4, 8, 16, 32).map(n => n -> hwProbe(n))
     put(hw.map { case (n, mops) => s"hw_mops_$n" -> fmt(mops) }: _*)
     val bwArr = new Array[Long](32 * 1024 * 1024) // 256 MiB, zero-filled is fine
-    val bw = Seq(1, 4, 8, 16, 32).map(n => n -> membwProbe(n, bwArr))
-    put(bw.map { case (n, gbps) => s"hw_membw_gbps_$n" -> fmt(gbps) }: _*)
+    val bwThreads = (Seq(1, 4, 8, 16, 32) ++ Seq(nCores, n4Cores)).distinct.sorted
+    val bw = bwThreads.map(n => n -> membwProbe(n, bwArr)).toMap
+    put(bwThreads.map(n => s"hw_membw_gbps_$n" -> fmt(bw(n))): _*)
+    // Hardware-attributable per-thread slowdown going N→4N threads: how
+    // much less bandwidth each thread gets. >= 1 only when the box is
+    // actually saturating; caps the work-corrected credit below.
+    val membwInflationCap =
+      math.max(1.0, (bw(nCores) / nCores) / (bw(n4Cores) / n4Cores))
+    put("membw_inflation_cap" -> fmt(membwInflationCap))
 
     // ---- 1. query suite at the requested parallelism ----
     val skipQueries = sys.env.contains("SPARK_GRAFT_BENCH_SKIP_QUERIES")
@@ -294,6 +396,9 @@ object Bench {
           .mkString("{", ",", "}")
         put("queries" -> qs, "value" -> fmt(results.values.sum))
       }
+      // eviction hygiene: free the suite's shared localCheckpoint blocks +
+      // audited temp tables before the scaling legs measure anything
+      Queries.freeSharedCaches()
       spark.stop()
     }
 
@@ -307,64 +412,56 @@ object Bench {
     put("pipeline_images" -> nImages.toString,
       "scaling_n_cores" -> nCores.toString, "scaling_4n_cores" -> n4Cores.toString)
 
+    // Work-corrected efficiency (round-3 ADVICE, reworked): the correction
+    // credit is min(task-time inflation EXCLUDING GC, the hardware
+    // bandwidth cap). GC time is the engine's own cost — crediting it back
+    // let a fully degraded draw report 0.999 (round-3 artifact); and no
+    // credit beyond the measured per-thread bandwidth drop can be
+    // hardware's fault. SELF-NORMALIZED ESTIMATE ONLY — raw
+    // scaling_efficiency is the criterion-facing number.
+    def workCredit(bn: Run, b4: Run): Double = {
+      val taskRatioNoGc =
+        math.max(1.0, (b4.taskSec - b4.gcSec) / math.max(1e-9, bn.taskSec - bn.gcSec))
+      math.min(taskRatioNoGc, membwInflationCap)
+    }
+    put("work_corrected_note" -> jstr(
+      "scaling_efficiency_work_corrected = raw eff x min(task(4N)/task(N) excl GC, membw_inflation_cap); " +
+      "self-normalized engine-vs-box estimate — raw scaling_efficiency is the criterion-facing number"))
+
     def reportPrimary(images: Long)(bn: Run, b4: Run): Unit = {
       val thrN = images / bn.wall
       val thr4N = images / b4.wall
       val eff = (thr4N / thrN) / 4.0
-      // Work-corrected efficiency: the same logical work measures
-      // task(4N)/task(N) more executor-seconds at 4N threads purely from
-      // single-box memory-bandwidth contention (the hw_membw_* curve; ALU
-      // scales linearly). N→4N EXECUTORS multiply memory channels, so the
-      // engine's own scaling — coordination, shuffle balance, serial floor
-      // — is eff x that inflation factor. Raw eff stays the headline;
-      // this field isolates engine-vs-box (BENCH.md §hardware).
-      val corrected = eff * (b4.taskSec / bn.taskSec)
+      val credit = workCredit(bn, b4)
       put(
         "pipeline_rows_out" -> b4.rows.toString,
         "images_per_sec_n" -> fmt(thrN), "images_per_sec_4n" -> fmt(thr4N),
         "pipeline_sec_n" -> fmt(bn.wall), "pipeline_sec_4n" -> fmt(b4.wall),
         "task_core_sec_n" -> fmt(bn.taskSec), "task_core_sec_4n" -> fmt(b4.taskSec),
         "gc_sec_n" -> fmt(bn.gcSec), "gc_sec_4n" -> fmt(b4.gcSec),
+        "placement_n" -> jstr(placement(bn, images)),
+        "placement_4n" -> jstr(placement(b4, images)),
         "scaling_efficiency" -> fmt(eff),
-        "scaling_efficiency_work_corrected" -> fmt(corrected))
+        "scaling_efficiency_work_corrected" -> fmt(eff * credit))
     }
-    // 3 reps, min per level: leg wall times are BIMODAL on this VM (the
-    // same 16-thread leg measured 44 s and 210 s in identical back-to-back
-    // sessions — hypervisor placement), so a single rep can land in the
-    // pathological mode; the budget guard below sheds extra reps first
-    // when time is tight.
+    // First pair: warm once per level, ONE measured rep each, then degraded
+    // re-draws. Extra reps are deferred until AFTER the sweep — the sweep
+    // is the scaling evidence that matters and must not be shed by the
+    // budget guard while reps repeat already-clean measurements.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
-    val (bestN, best4N) = legPair(nCores, n4Cores, corpusDir, reps,
-      warm = true, budgetLeft _, reportPrimary(nImages))
+    val (bestN1, best4N1) = legPair("primary", nCores, n4Cores, corpusDir,
+      nImages, reps = 1, warm = true, budgetLeft _, reportPrimary(nImages))
 
-    // ---- 3. legacy 8v32 pair (round-1/2 key continuity) — budget-gated ----
-    val legacyOn = sys.env.getOrElse("SPARK_GRAFT_BENCH_LEGACY", "1") != "0" &&
-      (nCores, n4Cores) != ((8, 32))
-    if (legacyOn && budgetLeft() > (bestN.wall / 2 + best4N.wall * 2) * 1.4) {
-      val (b8, b32) = legPair(8, 32, corpusDir, 1, warm = false, budgetLeft _,
-        (x, y) => put(
-          "images_per_sec_local8" -> fmt(nImages / x.wall),
-          "images_per_sec_local32" -> fmt(nImages / y.wall),
-          "pipeline_sec_local8" -> fmt(x.wall), "pipeline_sec_local32" -> fmt(y.wall),
-          "task_core_sec_local8" -> fmt(x.taskSec), "task_core_sec_local32" -> fmt(y.taskSec),
-          "scaling_efficiency_8v32" -> fmt(((nImages / y.wall) / (nImages / x.wall)) / 4.0)))
-      val _ = (b8, b32)
-    } else if ((nCores, n4Cores) == ((8, 32))) {
-      put("images_per_sec_local8" -> fmt(nImages / bestN.wall),
-        "images_per_sec_local32" -> fmt(nImages / best4N.wall),
-        "pipeline_sec_local8" -> fmt(bestN.wall), "pipeline_sec_local32" -> fmt(best4N.wall))
-    }
-
-    // ---- 4. corpus-size sweep at the primary protocol (the W-vs-F
-    // asymptote evidence): a 4x corpus, run only if it fits the remaining
-    // budget. Serial floor F is core-count-invariant, so efficiency
-    // (F+W/N)/(F+W/4N)-style rises toward 1 as W grows — the sweep makes
-    // that measurable instead of argued. ----
+    // ---- 3. corpus-size sweep at the primary protocol (the W-vs-F
+    // asymptote evidence): a 2x corpus. Serial floor F is
+    // core-count-invariant, so efficiency (F+W/N)/(F+W/4N)-style rises
+    // toward 1 as W grows — the sweep makes that measurable instead of
+    // argued (measured round 3: raw 0.37 at 257k images → 0.81 at 513k). ----
     val sweepFamilies = sys.env.getOrElse("SPARK_GRAFT_BENCH_SWEEP_FAMILIES",
       (benchFamilies * 2).toString).toLong
     val sweepOn = sys.env.getOrElse("SPARK_GRAFT_BENCH_SWEEP", "1") != "0"
     val ratio = sweepFamilies.toDouble / benchFamilies
-    val estimate = (bestN.wall + best4N.wall) * ratio * 1.2 + genSec * ratio
+    val estimate = (bestN1.wall + best4N1.wall) * ratio * 1.2 + genSec * ratio
     if (sweepOn && sweepFamilies > benchFamilies && budgetLeft() > estimate) {
       val sweepDir = s"/root/repo/target/bench-corpus-$sweepFamilies"
       val (s2, _) = session(cpus)
@@ -372,21 +469,50 @@ object Bench {
       val nSweep = s2.read.parquet(s"$sweepDir/images").count()
       s2.stop()
       // no extra warm-up (the JVM is hot from the standard legs); 2 reps
-      // min-per-level when budget allows — a single sweep draw can land a
-      // leg in the pathological placement mode (measured raw eff 0.81 and
-      // 0.06 on identical back-to-back sweep runs, with the inflated leg
-      // flipping sides; the work-corrected field stayed 0.87/0.78)
-      legPair(nCores, n4Cores, sweepDir, 2, warm = false, budgetLeft _,
-        (swN, sw4N) => {
-          val sEff = ((nSweep / sw4N.wall) / (nSweep / swN.wall)) / 4.0
-          put("sweep" -> (
-            s"""{"families":$sweepFamilies,"images":$nSweep,""" +
-            s""""pipeline_sec_n":${fmt(swN.wall)},"pipeline_sec_4n":${fmt(sw4N.wall)},""" +
-            s""""images_per_sec_n":${fmt(nSweep / swN.wall)},"images_per_sec_4n":${fmt(nSweep / sw4N.wall)},""" +
-            s""""task_core_sec_n":${fmt(swN.taskSec)},"task_core_sec_4n":${fmt(sw4N.taskSec)},""" +
-            s""""scaling_efficiency":${fmt(sEff)},""" +
-            s""""scaling_efficiency_work_corrected":${fmt(sEff * sw4N.taskSec / swN.taskSec)}}"""))
-        })
+      // min-per-level when budget allows, degraded legs re-drawn first
+      def reportSweep(swN: Run, sw4N: Run): Unit = {
+        val sEff = ((nSweep / sw4N.wall) / (nSweep / swN.wall)) / 4.0
+        val credit = workCredit(swN, sw4N)
+        put("sweep" -> (
+          s"""{"families":$sweepFamilies,"images":$nSweep,""" +
+          s""""pipeline_sec_n":${fmt(swN.wall)},"pipeline_sec_4n":${fmt(sw4N.wall)},""" +
+          s""""images_per_sec_n":${fmt(nSweep / swN.wall)},"images_per_sec_4n":${fmt(nSweep / sw4N.wall)},""" +
+          s""""task_core_sec_n":${fmt(swN.taskSec)},"task_core_sec_4n":${fmt(sw4N.taskSec)},""" +
+          s""""gc_sec_n":${fmt(swN.gcSec)},"gc_sec_4n":${fmt(sw4N.gcSec)},""" +
+          s""""placement_n":${jstr(placement(swN, nSweep))},""" +
+          s""""placement_4n":${jstr(placement(sw4N, nSweep))},""" +
+          s""""scaling_efficiency":${fmt(sEff)},""" +
+          s""""scaling_efficiency_work_corrected":${fmt(sEff * credit)}}"""))
+      }
+      legPair("sweep", nCores, n4Cores, sweepDir, nSweep, reps = 2,
+        warm = false, budgetLeft _, reportSweep)
+    }
+
+    // ---- 4. extra primary reps (after the sweep, budget permitting):
+    // continue the primary pair from its first-draw bests ----
+    val (bestN, best4N) = legPair("primary", nCores, n4Cores, corpusDir,
+      nImages, reps = reps, warm = false, budgetLeft _, reportPrimary(nImages),
+      initial = Some((bestN1, best4N1)))
+
+    // ---- 5. legacy 8v32 pair (round-1/2 key continuity) — budget-gated ----
+    val legacyOn = sys.env.getOrElse("SPARK_GRAFT_BENCH_LEGACY", "1") != "0" &&
+      (nCores, n4Cores) != ((8, 32))
+    if (legacyOn && budgetLeft() > (bestN.wall / 2 + best4N.wall * 2) * 1.4) {
+      val (b8, b32) = legPair("legacy", 8, 32, corpusDir, nImages, reps = 1,
+        warm = false, budgetLeft _,
+        (x, y) => put(
+          "images_per_sec_local8" -> fmt(nImages / x.wall),
+          "images_per_sec_local32" -> fmt(nImages / y.wall),
+          "pipeline_sec_local8" -> fmt(x.wall), "pipeline_sec_local32" -> fmt(y.wall),
+          "task_core_sec_local8" -> fmt(x.taskSec), "task_core_sec_local32" -> fmt(y.taskSec),
+          "placement_local8" -> jstr(placement(x, nImages)),
+          "placement_local32" -> jstr(placement(y, nImages)),
+          "scaling_efficiency_8v32" -> fmt(((nImages / y.wall) / (nImages / x.wall)) / 4.0)))
+      val _ = (b8, b32)
+    } else if ((nCores, n4Cores) == ((8, 32))) {
+      put("images_per_sec_local8" -> fmt(nImages / bestN.wall),
+        "images_per_sec_local32" -> fmt(nImages / best4N.wall),
+        "pipeline_sec_local8" -> fmt(bestN.wall), "pipeline_sec_local32" -> fmt(best4N.wall))
     }
 
     println(render())
