@@ -129,7 +129,21 @@ object Bench {
     } catch { case _: Throwable => Thread.sleep(300) }
   }
 
-  final case class Run(wall: Double, rows: Long, taskSec: Double, gcSec: Double)
+  final case class Run(wall: Double, rows: Long, taskSec: Double, gcSec: Double,
+                       stealPct: Double)
+
+  /** (busy jiffies, steal jiffies) from /proc/stat — hypervisor steal is
+    * the one hardware signal that separates "the engine did more work"
+    * from "the host took the cycles" in a degraded draw.
+    */
+  private def cpuJiffies(): (Long, Long) = {
+    try {
+      val l = scala.io.Source.fromFile("/proc/stat").getLines().next()
+      val f = l.trim.split("\\s+").drop(1).map(_.toLong)
+      // user nice system idle iowait irq softirq steal
+      (f.take(3).sum + f.drop(5).take(2).sum, if (f.length > 7) f(7) else 0L)
+    } catch { case _: Throwable => (0L, 0L) }
+  }
 
   // ---- placement quality (round-3 VERDICT #4) ----
   // Session-best CLEAN work baseline: min task core-s per image across every
@@ -159,6 +173,7 @@ object Bench {
       s"""{"leg":${jstr(leg)},"cores":$cores,"wall_sec":${fmt(r.wall)},""" +
       s""""task_core_sec":${fmt(r.taskSec)},"gc_sec":${fmt(r.gcSec)},""" +
       s""""per_image_core_ms":${fmt(r.taskSec / images * 1000.0)},""" +
+      s""""steal_pct":${fmt(r.stealPct)},""" +
       s""""placement":${jstr(placement(r, images))}}"""
     }.mkString("[", ",", "]")
 
@@ -167,21 +182,35 @@ object Bench {
     val (spark, meter) = session(cores)
     try {
       val images = spark.read.parquet(s"$corpusDir/images")
+      val (busy0, steal0) = cpuJiffies()
       val t0 = System.nanoTime()
       val res = DedupPipeline.run(images, graft.core.GraftConfig())
       val n = res.clusters.count()
       val wall = (System.nanoTime() - t0) / 1e9
+      val (busy1, steal1) = cpuJiffies()
+      val stealPct =
+        if (busy1 + steal1 > busy0 + steal0)
+          100.0 * (steal1 - steal0) / math.max(1L, (busy1 - busy0) + (steal1 - steal0))
+        else 0.0
       drainListenerBus(spark)
       val taskSec = meter.taskMs.get() / 1000.0
       val gcSec = meter.gcMs.get() / 1000.0
       if (sys.props.contains("graft.profile"))
-        println(f"[profile] pipeline ${wall}%.2f s cores=$cores cc_iters=${res.ccIterations} taskTime=$taskSec%.0f core-s gc=$gcSec%.0f s")
+        println(f"[profile] pipeline ${wall}%.2f s cores=$cores cc_iters=${res.ccIterations} taskTime=$taskSec%.0f core-s gc=$gcSec%.0f s steal=$stealPct%.1f%%")
       // Free EVERY persisted/checkpointed RDD — leaked checkpoint blocks
       // accumulate across runs and eventually GC-thrash the JVM (measured:
       // 5x wall blow-up on the 3rd back-to-back run).
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
-      Run(wall, n, taskSec, gcSec)
-    } finally spark.stop()
+      Run(wall, n, taskSec, gcSec, stealPct)
+    } finally {
+      spark.stop()
+      // Heap settle between legs: the degraded 4N-thread mode recovers over
+      // consecutive runs (round-4 grid: 984 → 4630 → 745 → 406 core-s, GC
+      // 120 s on the first draw) — an explicit full GC after each session
+      // hands the next leg a compacted heap instead of the previous leg's
+      // collection debt.
+      System.gc(); Thread.sleep(1500); System.gc()
+    }
   }
 
   /** One measured + disclosed run. */
@@ -209,10 +238,15 @@ object Bench {
                       warm: Boolean, budgetLeft: () => Double,
                       report: (Run, Run) => Unit,
                       initial: Option[(Run, Run)] = None): (Run, Run) = {
-    if (warm) { run1(n4Cores, corpusDir); run1(nCores, corpusDir) }
+    // warm→measure ADJACENCY for the fragile high-thread level: the 4N leg
+    // is measured immediately after its own warm-up, with no other-level
+    // runs in between to disturb the JVM's steady state (round-4 grid: the
+    // first measured 16-thread leg after an intervening 4-thread run paid
+    // 984 core-s / 120 s GC)
+    if (warm) { run1(nCores, corpusDir); run1(n4Cores, corpusDir) }
     var (bestN, best4N) = initial.getOrElse {
-      val a = measured(s"$label:n", nCores, corpusDir, images)
       val b = measured(s"$label:4n", n4Cores, corpusDir, images)
+      val a = measured(s"$label:n", nCores, corpusDir, images)
       (a, b)
     }
     report(bestN, best4N)
