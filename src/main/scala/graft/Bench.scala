@@ -486,40 +486,46 @@ object Bench {
     val (bestN1, best4N1) = legPair("primary", nCores, n4Cores, corpusDir,
       nImages, reps = 1, warm = true, budgetLeft _, reportPrimary(nImages))
 
-    // ---- 3. corpus-size sweep at the primary protocol (the W-vs-F
-    // asymptote evidence): a 2x corpus. Serial floor F is
-    // core-count-invariant, so efficiency (F+W/N)/(F+W/4N)-style rises
-    // toward 1 as W grows — the sweep makes that measurable instead of
-    // argued (measured round 3: raw 0.37 at 257k images → 0.81 at 513k). ----
-    val sweepFamilies = sys.env.getOrElse("SPARK_GRAFT_BENCH_SWEEP_FAMILIES",
-      (benchFamilies * 2).toString).toLong
+    // ---- 3. corpus-size sweep LADDER at the primary protocol (the W-vs-F
+    // asymptote evidence): 2x then 4x corpora, each budget-gated. Serial
+    // floor F is core-count-invariant, so efficiency (F+W/N)/(F+W/4N)-style
+    // rises toward 1 as W grows — the sweep makes that measurable instead
+    // of argued (measured round 3: raw 0.37 at 257k images → 0.81 at 513k).
+    // The 2x rung's JSON key stays `sweep` (cross-round continuity);
+    // further rungs are `sweep_<families>`. ----
+    val sweepLadder = sys.env.getOrElse("SPARK_GRAFT_BENCH_SWEEP_FAMILIES",
+      s"${benchFamilies * 2},${benchFamilies * 4}")
+      .split(",").map(_.trim.toLong).filter(_ > benchFamilies).toSeq
     val sweepOn = sys.env.getOrElse("SPARK_GRAFT_BENCH_SWEEP", "1") != "0"
-    val ratio = sweepFamilies.toDouble / benchFamilies
-    val estimate = (bestN1.wall + best4N1.wall) * ratio * 1.2 + genSec * ratio
-    if (sweepOn && sweepFamilies > benchFamilies && budgetLeft() > estimate) {
-      val sweepDir = s"/root/repo/target/bench-corpus-$sweepFamilies"
-      val (s2, _) = session(cpus)
-      SyntheticImages.materialize(s2, sweepDir, sweepFamilies)
-      val nSweep = s2.read.parquet(s"$sweepDir/images").count()
-      s2.stop()
-      // no extra warm-up (the JVM is hot from the standard legs); 2 reps
-      // min-per-level when budget allows, degraded legs re-drawn first
-      def reportSweep(swN: Run, sw4N: Run): Unit = {
-        val sEff = ((nSweep / sw4N.wall) / (nSweep / swN.wall)) / 4.0
-        val credit = workCredit(swN, sw4N)
-        put("sweep" -> (
-          s"""{"families":$sweepFamilies,"images":$nSweep,""" +
-          s""""pipeline_sec_n":${fmt(swN.wall)},"pipeline_sec_4n":${fmt(sw4N.wall)},""" +
-          s""""images_per_sec_n":${fmt(nSweep / swN.wall)},"images_per_sec_4n":${fmt(nSweep / sw4N.wall)},""" +
-          s""""task_core_sec_n":${fmt(swN.taskSec)},"task_core_sec_4n":${fmt(sw4N.taskSec)},""" +
-          s""""gc_sec_n":${fmt(swN.gcSec)},"gc_sec_4n":${fmt(sw4N.gcSec)},""" +
-          s""""placement_n":${jstr(placement(swN, nSweep))},""" +
-          s""""placement_4n":${jstr(placement(sw4N, nSweep))},""" +
-          s""""scaling_efficiency":${fmt(sEff)},""" +
-          s""""scaling_efficiency_work_corrected":${fmt(sEff * credit)}}"""))
+    if (sweepOn) sweepLadder.zipWithIndex.foreach { case (sweepFamilies, rung) =>
+      val ratio = sweepFamilies.toDouble / benchFamilies
+      val estimate = (bestN1.wall + best4N1.wall) * ratio * 1.2 + genSec * ratio
+      if (budgetLeft() > estimate) {
+        val key = if (rung == 0) "sweep" else s"sweep_$sweepFamilies"
+        val sweepDir = s"/root/repo/target/bench-corpus-$sweepFamilies"
+        val (s2, _) = session(cpus)
+        SyntheticImages.materialize(s2, sweepDir, sweepFamilies)
+        val nSweep = s2.read.parquet(s"$sweepDir/images").count()
+        s2.stop()
+        // no extra warm-up (the JVM is hot from the standard legs); 2 reps
+        // min-per-level when budget allows, degraded legs re-drawn first
+        def reportSweep(swN: Run, sw4N: Run): Unit = {
+          val sEff = ((nSweep / sw4N.wall) / (nSweep / swN.wall)) / 4.0
+          val credit = workCredit(swN, sw4N)
+          put(key -> (
+            s"""{"families":$sweepFamilies,"images":$nSweep,""" +
+            s""""pipeline_sec_n":${fmt(swN.wall)},"pipeline_sec_4n":${fmt(sw4N.wall)},""" +
+            s""""images_per_sec_n":${fmt(nSweep / swN.wall)},"images_per_sec_4n":${fmt(nSweep / sw4N.wall)},""" +
+            s""""task_core_sec_n":${fmt(swN.taskSec)},"task_core_sec_4n":${fmt(sw4N.taskSec)},""" +
+            s""""gc_sec_n":${fmt(swN.gcSec)},"gc_sec_4n":${fmt(sw4N.gcSec)},""" +
+            s""""placement_n":${jstr(placement(swN, nSweep))},""" +
+            s""""placement_4n":${jstr(placement(sw4N, nSweep))},""" +
+            s""""scaling_efficiency":${fmt(sEff)},""" +
+            s""""scaling_efficiency_work_corrected":${fmt(sEff * credit)}}"""))
+        }
+        legPair(key, nCores, n4Cores, sweepDir, nSweep, reps = 2,
+          warm = false, budgetLeft _, reportSweep)
       }
-      legPair("sweep", nCores, n4Cores, sweepDir, nSweep, reps = 2,
-        warm = false, budgetLeft _, reportSweep)
     }
 
     // ---- 4. extra primary reps (after the sweep, budget permitting):
