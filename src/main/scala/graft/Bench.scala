@@ -160,8 +160,19 @@ object Bench {
     // always read as degraded against it
     if (cleanPriorMs > 0 && images >= 100000) math.min(bestMsPerImage, cleanPriorMs)
     else bestMsPerImage
-  private def placement(r: Run, images: Long): String =
-    if (r.taskSec / images * 1000.0 <= 2.0 * baselineMs(images)) "clean" else "degraded"
+  /** The session baseline is set by 4-thread legs (whose per-image core-s is
+    * measured corpus-size-invariant, ~0.85-0.95 ms); high-thread legs pay a
+    * REAL clean-mode inflation that grows with the working set (1.4-1.7x at
+    * 257k, ~2.4x at 513k images for 16 threads — cache/TLB, not a bad
+    * draw), so their degraded threshold gets a 1.7x allowance. Without it
+    * every big-corpus 16-thread leg reads degraded and the re-draw budget
+    * chases an unreachable baseline.
+    */
+  private def placement(r: Run, images: Long, cores: Int): String = {
+    val allowance = if (cores > 8) 1.7 else 1.0
+    if (r.taskSec / images * 1000.0 <= 2.0 * allowance * baselineMs(images)) "clean"
+    else "degraded"
+  }
 
   /** Full disclosure grid: every measured run (never the warm-ups), with
     * placement recomputed against the final session baseline on each flush.
@@ -174,7 +185,7 @@ object Bench {
       s""""task_core_sec":${fmt(r.taskSec)},"gc_sec":${fmt(r.gcSec)},""" +
       s""""per_image_core_ms":${fmt(r.taskSec / images * 1000.0)},""" +
       s""""steal_pct":${fmt(r.stealPct)},""" +
-      s""""placement":${jstr(placement(r, images))}}"""
+      s""""placement":${jstr(placement(r, images, cores))}}"""
     }.mkString("[", ",", "]")
 
   /** Wall-time one full dedup-pipeline run at `cores`, in a fresh session. */
@@ -213,9 +224,41 @@ object Bench {
     }
   }
 
-  /** One measured + disclosed run. */
+  /** Steal over a short window as %% of TOTAL vCPU capacity (ncpu x HZ x
+    * seconds) — the busy-relative ratio explodes on an idle VM (tiny busy
+    * denominator) and would read 90%%+ while nothing of ours runs.
+    */
+  private def stealSample(ms: Int): Double = {
+    val (_, s0) = cpuJiffies()
+    Thread.sleep(ms)
+    val (_, s1) = cpuJiffies()
+    val capacity = Runtime.getRuntime.availableProcessors().toDouble * 100.0 * (ms / 1000.0)
+    if (capacity <= 0) 0.0 else 100.0 * (s1 - s0) / capacity
+  }
+
+  /** Block until the host is calm (steal below 2%%) or `maxWaitSec` passes.
+    * The box's degraded mode is EXTERNAL interference arriving in waves
+    * (measured: 68%% steal bursts, 10-40%% for minutes, then 0.1-0.4%%) —
+    * waiting out a wave costs wall-clock but buys a leg that measures the
+    * engine instead of the co-tenants. Returns seconds waited.
+    */
+  private def waitForCalm(maxWaitSec: Double, label: String): Double = {
+    val t0 = System.nanoTime()
+    var s = stealSample(6000)
+    while (s > 1.0 && (System.nanoTime() - t0) / 1e9 < maxWaitSec) {
+      System.err.println(f"[bench] $label: host steal $s%.1f%% of vCPU capacity — waiting out the interference wave")
+      Thread.sleep(10000)
+      s = stealSample(6000)
+    }
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** One measured + disclosed run, taken in a calm-host window when the
+    * budget allows waiting for one.
+    */
   private def measured(label: String, cores: Int, corpusDir: String,
-                       images: Long): Run = {
+                       images: Long, calmWaitSec: Double = 0.0): Run = {
+    if (calmWaitSec > 0) waitForCalm(calmWaitSec, label)
     val r = run1(cores, corpusDir)
     bestMsPerImage = math.min(bestMsPerImage, r.taskSec / images * 1000.0)
     drawLog += ((label, cores, images, r))
@@ -244,22 +287,25 @@ object Bench {
     // first measured 16-thread leg after an intervening 4-thread run paid
     // 984 core-s / 120 s GC)
     if (warm) { run1(nCores, corpusDir); run1(n4Cores, corpusDir) }
+    // calm-window budget per measured run: wait out interference waves when
+    // there is slack, never more than 180 s or 15% of the remaining budget
+    def calm(): Double = math.min(180.0, budgetLeft() * 0.15)
     var (bestN, best4N) = initial.getOrElse {
-      val b = measured(s"$label:4n", n4Cores, corpusDir, images)
-      val a = measured(s"$label:n", nCores, corpusDir, images)
+      val b = measured(s"$label:4n", n4Cores, corpusDir, images, calm())
+      val a = measured(s"$label:n", nCores, corpusDir, images, calm())
       (a, b)
     }
     report(bestN, best4N)
     var redraws = 0
     while (redraws < 3 &&
-           (placement(bestN, images) == "degraded" ||
-            placement(best4N, images) == "degraded") &&
+           (placement(bestN, images, nCores) == "degraded" ||
+            placement(best4N, images, n4Cores) == "degraded") &&
            budgetLeft() > math.max(bestN.wall, best4N.wall) * 1.5) {
-      if (placement(bestN, images) == "degraded") {
-        val a = measured(s"$label:n:redraw", nCores, corpusDir, images)
+      if (placement(bestN, images, nCores) == "degraded") {
+        val a = measured(s"$label:n:redraw", nCores, corpusDir, images, calm())
         if (a.wall < bestN.wall) bestN = a
       } else {
-        val b = measured(s"$label:4n:redraw", n4Cores, corpusDir, images)
+        val b = measured(s"$label:4n:redraw", n4Cores, corpusDir, images, calm())
         if (b.wall < best4N.wall) best4N = b
       }
       report(bestN, best4N)
@@ -267,9 +313,9 @@ object Bench {
     }
     var r = 1
     while (r < reps && budgetLeft() > (bestN.wall + best4N.wall) * 1.3) {
-      val a = measured(s"$label:n", nCores, corpusDir, images)
+      val a = measured(s"$label:n", nCores, corpusDir, images, calm())
       if (a.wall < bestN.wall) bestN = a
-      val b = measured(s"$label:4n", n4Cores, corpusDir, images)
+      val b = measured(s"$label:4n", n4Cores, corpusDir, images, calm())
       if (b.wall < best4N.wall) best4N = b
       report(bestN, best4N)
       r += 1
@@ -314,6 +360,41 @@ object Bench {
     stop.set(true)
     threads.foreach(_.join())
     bytes.get() / ((System.nanoTime() - t0) / 1e9) / 1e9
+  }
+
+  /** Sustained-load steal probe (no Spark): spin `nThreads` pure-ALU
+    * threads for ~12 s and report the host-STOLEN CORES over the window
+    * (steal jiffies / HZ / seconds). Round-4 finding: this box is
+    * CPU-capped by its host under sustained load — 16 busy cores measure
+    * 15-22% of total vCPU capacity stolen (≈5-7 cores), 4 busy cores ~0-6%
+    * — measured with pure `yes`-style hogs, i.e. independent of Spark, GC,
+    * or memory traffic. The stolen-core numbers convert directly into the
+    * box's raw-scaling ceiling: with E(n) = n − stolen(n) effective cores,
+    * no engine can exceed eff = (E(4N)/E(N))/4 in sustained wall-clock —
+    * published as `box_efficiency_ceiling` so the measured
+    * `scaling_efficiency` can be read against what the box permits.
+    */
+  private def stealUnderLoad(nThreads: Int): Double = {
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val threads = (0 until nThreads).map { _ =>
+      new Thread(() => {
+        var x = 987654321L
+        while (!stop.get()) {
+          var i = 0
+          while (i < 100000) { x = x * 6364136223846793005L + 1442695040888963407L; i += 1 }
+        }
+        hwSink ^= x
+        ()
+      })
+    }
+    val (_, s0) = cpuJiffies()
+    val t0 = System.nanoTime()
+    threads.foreach(_.start())
+    Thread.sleep(12000)
+    val (_, s1) = cpuJiffies()
+    stop.set(true)
+    threads.foreach(_.join())
+    (s1 - s0) / 100.0 / ((System.nanoTime() - t0) / 1e9)
   }
 
   /** Pure-arithmetic thread-scaling probe (no Spark): aggregate Mops/s at
@@ -387,6 +468,19 @@ object Bench {
     val membwInflationCap =
       math.max(1.0, (bw(nCores) / nCores) / (bw(n4Cores) / n4Cores))
     put("membw_inflation_cap" -> fmt(membwInflationCap))
+    // Host CPU-cap probe (~24 s): stolen cores under sustained N- and
+    // 4N-thread pure-ALU load → the box's raw-scaling ceiling (scaladoc at
+    // stealUnderLoad). The measured scaling_efficiency should be read
+    // against this ceiling: efficiency/ceiling ≈ the engine's own share.
+    val stolenN = stealUnderLoad(nCores)
+    Thread.sleep(3000) // let the host's throttle window reset between probes
+    val stolen4N = stealUnderLoad(n4Cores)
+    val boxCeiling =
+      (math.max(0.1, n4Cores - stolen4N) / math.max(0.1, nCores - stolenN)) /
+        (n4Cores.toDouble / nCores)
+    put("hw_stolen_cores_at_n" -> fmt(stolenN),
+      "hw_stolen_cores_at_4n" -> fmt(stolen4N),
+      "box_efficiency_ceiling" -> fmt(math.min(1.0, boxCeiling)))
 
     // ---- 1. query suite at the requested parallelism ----
     val skipQueries = sys.env.contains("SPARK_GRAFT_BENCH_SKIP_QUERIES")
@@ -473,10 +567,13 @@ object Bench {
         "pipeline_sec_n" -> fmt(bn.wall), "pipeline_sec_4n" -> fmt(b4.wall),
         "task_core_sec_n" -> fmt(bn.taskSec), "task_core_sec_4n" -> fmt(b4.taskSec),
         "gc_sec_n" -> fmt(bn.gcSec), "gc_sec_4n" -> fmt(b4.gcSec),
-        "placement_n" -> jstr(placement(bn, images)),
-        "placement_4n" -> jstr(placement(b4, images)),
+        "placement_n" -> jstr(placement(bn, images, nCores)),
+        "placement_4n" -> jstr(placement(b4, images, n4Cores)),
         "scaling_efficiency" -> fmt(eff),
-        "scaling_efficiency_work_corrected" -> fmt(eff * credit))
+        "scaling_efficiency_work_corrected" -> fmt(eff * credit),
+        // diagnostic ratio: measured eff over what the host's CPU cap
+        // permits (1.0 = the engine scales as well as this box allows)
+        "scaling_efficiency_vs_box_ceiling" -> fmt(eff / math.max(0.01, math.min(1.0, boxCeiling))))
     }
     // First pair: warm once per level, ONE measured rep each, then degraded
     // re-draws. Extra reps are deferred until AFTER the sweep — the sweep
@@ -518,8 +615,8 @@ object Bench {
             s""""images_per_sec_n":${fmt(nSweep / swN.wall)},"images_per_sec_4n":${fmt(nSweep / sw4N.wall)},""" +
             s""""task_core_sec_n":${fmt(swN.taskSec)},"task_core_sec_4n":${fmt(sw4N.taskSec)},""" +
             s""""gc_sec_n":${fmt(swN.gcSec)},"gc_sec_4n":${fmt(sw4N.gcSec)},""" +
-            s""""placement_n":${jstr(placement(swN, nSweep))},""" +
-            s""""placement_4n":${jstr(placement(sw4N, nSweep))},""" +
+            s""""placement_n":${jstr(placement(swN, nSweep, nCores))},""" +
+            s""""placement_4n":${jstr(placement(sw4N, nSweep, n4Cores))},""" +
             s""""scaling_efficiency":${fmt(sEff)},""" +
             s""""scaling_efficiency_work_corrected":${fmt(sEff * credit)}}"""))
         }
@@ -545,8 +642,8 @@ object Bench {
           "images_per_sec_local32" -> fmt(nImages / y.wall),
           "pipeline_sec_local8" -> fmt(x.wall), "pipeline_sec_local32" -> fmt(y.wall),
           "task_core_sec_local8" -> fmt(x.taskSec), "task_core_sec_local32" -> fmt(y.taskSec),
-          "placement_local8" -> jstr(placement(x, nImages)),
-          "placement_local32" -> jstr(placement(y, nImages)),
+          "placement_local8" -> jstr(placement(x, nImages, 8)),
+          "placement_local32" -> jstr(placement(y, nImages, 32)),
           "scaling_efficiency_8v32" -> fmt(((nImages / y.wall) / (nImages / x.wall)) / 4.0)))
       val _ = (b8, b32)
     } else if ((nCores, n4Cores) == ((8, 32))) {
