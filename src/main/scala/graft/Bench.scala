@@ -33,14 +33,19 @@ import graft.queries.Queries
   *   4. 2x-corpus sweep at the primary protocol (the W-vs-F asymptote
   *      evidence)  5. extra primary reps  6. legacy 8v32 pair.
   *
-  * Placement quality (round-3 VERDICT #4): leg wall times are BIMODAL on
-  * this VM (the same 16-thread leg measured 44 s and 210 s back-to-back —
-  * hypervisor placement). Every measured run is recorded in the `draws`
-  * grid with per-image core-s; a leg whose task core-s per image exceeds
-  * 2x the session-best clean baseline is flagged `degraded`, and degraded
-  * legs are RE-DRAWN first, before any budget goes to extra reps. The
-  * per-pair `placement_*` fields expose the quality of the kept legs so a
-  * reader cannot mistake a fully inflated draw for engine health.
+  * Placement quality (round-3 VERDICT #4, root-caused round 4): leg wall
+  * times vary 3-20x because the HOST steals CPU from this VM under
+  * sustained load during busy co-tenant periods (measured with Spark-free
+  * hog probes — BENCH.md §hardware; the same 16-thread leg measured 44 s
+  * and 210 s back-to-back). Every measured run therefore waits for a calm
+  * window (steal < 1% of capacity), and is recorded in the `draws` grid
+  * with per-image core-s AND the steal%% observed during the run; a leg
+  * whose per-image core-s exceeds 2x the session-best clean baseline
+  * (with a 1.7x allowance for high-thread legs' real cache-contention
+  * inflation) is flagged `degraded`, and degraded legs are RE-DRAWN
+  * first, before any budget goes to extra reps. The per-pair
+  * `placement_*` fields expose the quality of the kept legs so a reader
+  * cannot mistake an inflated draw for engine health.
   *
   * Robustness contract (round-2 regression: the driver's bench timed out
   * and, because JSON was only written at the very end, the round shipped
