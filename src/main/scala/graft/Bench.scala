@@ -241,7 +241,7 @@ object Bench {
     if (capacity <= 0) 0.0 else 100.0 * (s1 - s0) / capacity
   }
 
-  /** Block until the host is calm (steal below 2%%) or `maxWaitSec` passes.
+  /** Block until the host is calm (steal below 1%% of capacity) or `maxWaitSec` passes.
     * The box's degraded mode is EXTERNAL interference arriving in waves
     * (measured: 68%% steal bursts, 10-40%% for minutes, then 0.1-0.4%%) —
     * waiting out a wave costs wall-clock but buys a leg that measures the

@@ -150,8 +150,17 @@ object Candidates {
     // rows of the group to one window task — a single-task hot spot at
     // scale. The join-back is an equi-join against a one-row-per-key frame
     // (broadcast or AQE-skew-split SMJ — either way no per-task buffering).
-    val repMin = fps.groupBy(keyCols.map(col): _*).agg(min("image_id").as("rep_id"))
-    val tagged = fps.join(repMin, keyCols)
+    //
+    // NULL keys: groupBy treats NULL as one group (like the old window
+    // rewrite) but a plain equi-join-back would DROP those rows — a silent
+    // recall loss for a user-supplied group column containing nulls. The
+    // join-back is therefore null-safe (<=> per key column), which keeps
+    // null-keyed rows in the collapse exactly like any other identity group.
+    val repMin = keyCols.foldLeft(
+      fps.groupBy(keyCols.map(col): _*).agg(min("image_id").as("rep_id"))
+    )((d, c) => d.withColumnRenamed(c, "__rk_" + c))
+    val joinCond = keyCols.map(c => col(c) <=> col("__rk_" + c)).reduce(_ && _)
+    val tagged = fps.join(repMin, joinCond).drop(keyCols.map("__rk_" + _): _*)
     val reps = tagged.filter(col("image_id") === col("rep_id")).drop("rep_id")
     val star = tagged.filter(col("image_id") =!= col("rep_id"))
       .select(col("rep_id").as("a"), col("image_id").as("b"))

@@ -96,8 +96,32 @@ object Queries {
     auditedCache.clear()
   }
 
+  /** Bound-path eviction: drop only entries whose session is STOPPED. A
+    * full freeSharedCaches() here would unpersist localCheckpoint blocks of
+    * live frames a caller still holds — localCheckpoint lineage is not
+    * recomputable, so the caller's next action would fail on a lost block
+    * instead of recomputing (round-4 ADVICE). Live-session entries are kept
+    * even above the bound: the map is keyed by (session, dir), so a
+    * long-lived session legitimately holding >8 dirs keeps them all.
+    */
+  private def evictStopped(): Unit = {
+    def stale(k: (SparkSession, String)): Boolean = k._1.sparkContext.isStopped
+    tieredCache.keySet.forEach(k => if (stale(k)) tieredCache.remove(k))
+    auditedCache.keySet.forEach { k =>
+      if (stale(k)) {
+        Option(auditedCache.remove(k)).foreach { v =>
+          scala.util.Try {
+            val root = java.nio.file.Paths.get(v._1._3)
+            java.nio.file.Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+              .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+          }
+        }
+      }
+    }
+  }
+
   private def tieredFrame(s: SparkSession, dir: String): DataFrame = {
-    if (tieredCache.size > 8) freeSharedCaches() // bound stale-session entries
+    if (tieredCache.size > 8) evictStopped() // bound stale-session entries
     tieredCache.computeIfAbsent((s, dir), { _ =>
       trackPersists(s) {
         import s.implicits._
@@ -127,7 +151,7 @@ object Queries {
 
   private def auditedRun(s: SparkSession, dir: String)
       : (DedupPipeline.Result, graft.pipeline.Audit) = {
-    if (auditedCache.size > 8) freeSharedCaches() // bound stale-session entries
+    if (auditedCache.size > 8) evictStopped() // bound stale-session entries
     val (v, _) = auditedCache.computeIfAbsent((s, dir), { _ =>
       trackPersists(s) {
         val work = java.nio.file.Files.createTempDirectory("graft-audit-q").toString

@@ -77,31 +77,66 @@ object StreamingDedup {
       }
   }
 
-  /** (content_hi, content_lo, span) → count seen so far; rows within a
-    * batch are emitted in image_id order so emission is deterministic.
+  /** (content_hi, content_lo, span) → count seen so far.
+    *
+    * `deterministicOrder = true` (default): rows within a batch are emitted
+    * in image_id order (the order the SQL oracle pins), which buffers the
+    * group's id strings — bounded memory at |group| ids per micro-batch.
+    * `false`: rows are emitted INCREMENTALLY in arrival order with the
+    * running counter — O(1) memory per group, the production setting when a
+    * mega-identity group (millions of rows sharing one caption) can land in
+    * a single micro-batch. first_seen/n_seen_before semantics are identical;
+    * only WHICH row of a same-batch tie gets first_seen differs (arrival
+    * order instead of lexicographic id order).
     */
-  private def dedupGroup(
+  private def dedupGroup(deterministicOrder: Boolean)(
       key: (Long, Long, Int),
       rows: Iterator[ContentRow],
       state: GroupState[Long]): Iterator[DedupEmit] = {
     val start = state.getOption.getOrElse(0L)
-    // narrow buffer: ids only (see scaladoc — bounded at |group| strings)
-    val ids = rows.map(_.image_id).toArray.sorted
-    state.update(start + ids.length)
-    ids.iterator.zipWithIndex.map { case (id, i) =>
-      DedupEmit(id, key._1, key._2, key._3, start + i == 0L, start + i)
+    if (deterministicOrder) {
+      // narrow buffer: ids only (see scaladoc — bounded at |group| strings)
+      val ids = rows.map(_.image_id).toArray.sorted
+      state.update(start + ids.length)
+      ids.iterator.zipWithIndex.map { case (id, i) =>
+        DedupEmit(id, key._1, key._2, key._3, start + i == 0L, start + i)
+      }
+    } else {
+      // streaming emission: one counter, no buffering. GroupState.update may
+      // be called before the iterator is drained ONLY with the final count,
+      // so the count is folded in as rows stream and committed via a
+      // trailing update — flatMapGroupsWithState evaluates the returned
+      // iterator fully before state commit, making the per-element update
+      // safe (each call overwrites the last; the final one wins).
+      var n = start
+      rows.map { r =>
+        val e = DedupEmit(r.image_id, key._1, key._2, key._3, n == 0L, n)
+        n += 1
+        state.update(n)
+        e
+      }
     }
   }
 
   /** Attach cross-batch first-seen/duplicate flags to a (streaming or
     * batch) content-identity Dataset.
+    *
+    * CHECKPOINT COMPATIBILITY: since round 4 the state key is the 128-bit
+    * CONTENT identity (content_hi, content_lo, span) — earlier rounds keyed
+    * on the 64-bit simhash with an identical on-disk state schema
+    * (Long, Long, Int -> Long), so resuming a pre-round-4 checkpoint would
+    * silently mix old simhash keys with content keys and re-flag old
+    * duplicates first_seen=true. Upgraded queries MUST start from a fresh
+    * `checkpointLocation` (there is no schema difference for the runtime to
+    * reject, hence this contract note).
     */
-  def dedupAgainstState(rows: Dataset[ContentRow]): Dataset[DedupEmit] = {
+  def dedupAgainstState(rows: Dataset[ContentRow],
+                        deterministicOrder: Boolean = true): Dataset[DedupEmit] = {
     implicit val emitEnc = Encoders.product[DedupEmit]
     implicit val keyEnc = Encoders.product[(Long, Long, Int)]
     implicit val stateEnc = Encoders.scalaLong
     rows.groupByKey(r => (r.content_hi, r.content_lo, r.span))
       .flatMapGroupsWithState[Long, DedupEmit](
-        OutputMode.Append, GroupStateTimeout.NoTimeout)(dedupGroup)
+        OutputMode.Append, GroupStateTimeout.NoTimeout)(dedupGroup(deterministicOrder))
   }
 }

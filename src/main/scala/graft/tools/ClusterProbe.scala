@@ -26,7 +26,10 @@ object ClusterProbe {
 
   def jarPath(): String = {
     val dir = new java.io.File("target/scala-2.13")
-    dir.listFiles((_, n) => n.startsWith("clonebasspark") && n.endsWith(".jar"))
+    // listFiles returns null when the directory doesn't exist — guard so the
+    // intended "run sbt package" message is reached instead of an NPE
+    Option(dir.listFiles((_, n) => n.startsWith("clonebasspark") && n.endsWith(".jar")))
+      .getOrElse(Array.empty[java.io.File])
       .sortBy(_.lastModified()).lastOption
       .map(_.getAbsolutePath)
       .getOrElse(sys.error("run `sbt package` first — executors need the graft jar"))
@@ -65,9 +68,9 @@ object ClusterProbe {
     }
   }
 
-  /** Wait (up to maxWaitSec) for hypervisor steal < 2% over a 6 s sample —
-    * the box's interference waves (BENCH.md: bursts to 68% steal) poison
-    * any leg that overlaps one.
+  /** Wait (up to maxWaitSec) for hypervisor steal < 1% of capacity over a
+    * 6 s sample — the box's interference waves (BENCH.md: bursts to 68%
+    * steal) poison any leg that overlaps one.
     */
   def waitForCalm(maxWaitSec: Int): Unit = {
     def jiffies(): (Long, Long) = {

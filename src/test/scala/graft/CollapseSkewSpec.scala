@@ -43,6 +43,25 @@ class CollapseSkewSpec extends AnyFunSuite {
     assert(edges.map(_._2).distinct.length === 49999)
   }
 
+  test("null key values collapse like any identity group (no silent row drop)") {
+    // round-4 ADVICE: a plain equi-join-back drops NULL-keyed rows — every
+    // null-group duplicate would silently vanish from candidate generation
+    val fps = Seq(
+      ("n1", 42L, 0L, 17, null.asInstanceOf[String]),
+      ("n2", 42L, 0L, 17, null.asInstanceOf[String]),
+      ("n3", 42L, 0L, 17, "g"),
+      ("n4", 99L, 0L, 5, null.asInstanceOf[String]))
+      .toDF("image_id", "simhash", "simhash_lo", "span", "group")
+    val (reps, star) = Candidates.collapseExact(fps,
+      Seq("simhash", "simhash_lo", "span", "group"))
+    assert(reps.count() + star.count() === 4,
+      "every input row survives the collapse (reps + star members)")
+    assert(reps.select("image_id").as[String].collect().sorted ===
+      Array("n1", "n3", "n4"))
+    assert(star.as[(String, String)].collect().toSet === Set(("n1", "n2")),
+      "the two null-group twins pair through their representative")
+  }
+
   test("collapse on an array key (grams) stays window-free") {
     val fps = Seq(
       ("a", Array(1L, 2L, 3L)), ("b", Array(1L, 2L, 3L)), ("c", Array(9L)))

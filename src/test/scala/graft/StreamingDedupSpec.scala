@@ -72,6 +72,23 @@ class StreamingDedupSpec extends AnyFunSuite {
     assert(got === Map("x1" -> ((true, 0L)), "x2" -> ((false, 1L)), "y1" -> ((true, 0L))))
   }
 
+  test("incremental emission (deterministicOrder=false): mega-group, counts exact") {
+    // round-4 VERDICT #5: a 100k-identity group in one micro-batch must not
+    // require buffering the group — the incremental path emits with the
+    // running counter in arrival order, O(1) group state, same semantics:
+    // exactly ONE first_seen=true per identity and an exact duplicate count.
+    val mega = (0 until 100000).map(i => StreamingDedup.ContentRow(f"m$i%06d", 7L, 8L, 30))
+    val other = Seq(StreamingDedup.ContentRow("solo", 1L, 2L, 30))
+    val rows = (mega ++ other).toDS()
+    val got = StreamingDedup.dedupAgainstState(rows, deterministicOrder = false).collect()
+    val megaEmits = got.filter(_.content_hi == 7L)
+    assert(megaEmits.length === 100000)
+    assert(megaEmits.count(_.first_seen) === 1, "exactly one first_seen per identity")
+    assert(megaEmits.map(_.n_seen_before).sorted === (0L until 100000L).toArray,
+      "running duplicate counter is exact")
+    assert(got.filter(_.image_id == "solo").head.first_seen)
+  }
+
   test("128-bit state key separates a forced 64-bit collision") {
     // Two DISTINCT contents whose hi word and span collide exactly — the
     // round-3 (simhash, span) state key would fuse them, silently flagging
