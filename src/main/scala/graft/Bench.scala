@@ -93,11 +93,20 @@ object Bench {
       java.nio.file.Paths.get(outFile), render() + "\n")
   }
 
-  private def session(cores: Int): (SparkSession, graft.tools.ScaleProbe.Meter) = {
+  /** `shufflePartitions = 0` → pin to `cores` (the pre-round-5 behavior).
+    * The scaling legs instead pin BOTH levels to the SAME fixed count (with
+    * AQE coalescing on): partitions = cores gave the two legs different task
+    * granularity and per-task overhead, confounding the 4→16-thread
+    * task-time inflation the round-4 VERDICT asked to attribute — identical
+    * plans at both levels make the leg ratio measure the ENGINE.
+    */
+  private def session(cores: Int, shufflePartitions: Int = 0)
+      : (SparkSession, graft.tools.ScaleProbe.Meter) = {
+    val parts = if (shufflePartitions > 0) shufflePartitions else cores
     val s = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(s"graft-bench-$cores")
-      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.shuffle.partitions", parts.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -193,9 +202,14 @@ object Bench {
       s""""placement":${jstr(placement(r, images, cores))}}"""
     }.mkString("[", ",", "]")
 
+  /** Shuffle-partition count pinned across BOTH scaling legs (0 = legacy
+    * partitions-follow-cores). Set from main() before the legs run.
+    */
+  private var legShuffleParts: Int = 64
+
   /** Wall-time one full dedup-pipeline run at `cores`, in a fresh session. */
   private def run1(cores: Int, corpusDir: String): Run = {
-    val (spark, meter) = session(cores)
+    val (spark, meter) = session(cores, legShuffleParts)
     try {
       val images = spark.read.parquet(s"$corpusDir/images")
       val (busy0, steal0) = cpuJiffies()
@@ -367,6 +381,61 @@ object Bench {
     bytes.get() / ((System.nanoTime() - t0) / 1e9) / 1e9
   }
 
+  /** Random-access (pointer-chase) thread-scaling probe (no Spark): each
+    * thread chases a private random cycle through its own 64 MiB long array
+    * — dependent loads, so every access pays full memory latency with zero
+    * prefetch/ILP cover. This is the access pattern of hash-join probes,
+    * aggregation hash maps, and GC pointer traversal — the engine's actual
+    * hot loops — which the SEQUENTIAL membw probe cannot see (round-4
+    * VERDICT: the 2.3x 16-thread task inflation was unattributed because
+    * streaming bandwidth measured flat). Per-thread working set is constant
+    * across levels (cache-fairness), far over L2+L3 share, so the probe
+    * measures DRAM random-access throughput under n-thread concurrency.
+    * Returns aggregate Mchases/s.
+    */
+  private def chaseProbe(nThreads: Int): Double = {
+    val slots = 8 * 1024 * 1024 // 64 MiB of longs per thread
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val hops = new java.util.concurrent.atomic.AtomicLong(0L)
+    val ready = new java.util.concurrent.CountDownLatch(nThreads)
+    val go = new java.util.concurrent.CountDownLatch(1)
+    val threads = (0 until nThreads).map { t =>
+      new Thread(() => {
+        // Sattolo cycle: arr(i) = next index; one cycle covering all slots
+        val arr = new Array[Long](slots)
+        var i = 0
+        while (i < slots) { arr(i) = i; i += 1 }
+        var rng = 0x9e3779b97f4a7c15L * (t + 1)
+        i = slots - 1
+        while (i > 0) {
+          rng = rng * 6364136223846793005L + 1442695040888963407L
+          val j = (((rng >>> 33) % i) + i) % i // 0 <= j < i
+          val tmp = arr(i.toInt); arr(i.toInt) = arr(j.toInt); arr(j.toInt) = tmp
+          i -= 1
+        }
+        ready.countDown(); go.await()
+        var p = 0L
+        var n = 0L
+        while (!stop.get()) {
+          var k = 0
+          while (k < 10000) { p = arr(p.toInt); k += 1 }
+          n += 10000
+        }
+        hwSink ^= p
+        hops.addAndGet(n)
+        ()
+      })
+    }
+    threads.foreach(_.start())
+    ready.await() // all cycles built before the clock starts
+    val t0 = System.nanoTime()
+    go.countDown()
+    Thread.sleep(1200)
+    stop.set(true)
+    threads.foreach(_.join())
+    hops.get() / ((System.nanoTime() - t0) / 1e9) / 1e6
+  }
+
   /** Sustained-load steal probe (no Spark): spin `nThreads` pure-ALU
     * threads for ~12 s and report the host-STOLEN CORES over the window
     * (steal jiffies / HZ / seconds). Round-4 finding: this box is
@@ -454,9 +523,13 @@ object Bench {
     val corpusDir = sys.env.getOrElse("SPARK_GRAFT_BENCH_CORPUS",
       s"/root/repo/target/bench-corpus-$benchFamilies")
     outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/bench.json")
+    // identical task granularity at both scaling levels (0 = legacy
+    // partitions-follow-cores, for A/B attribution runs)
+    legShuffleParts = sys.env.getOrElse("SPARK_GRAFT_BENCH_SHUFFLE_PARTS", "64").toInt
 
     put("metric" -> jstr("total"), "value" -> "null", "unit" -> jstr("sec"),
-      "queries" -> "{}", "sf" -> jstr(sfDir))
+      "queries" -> "{}", "sf" -> jstr(sfDir),
+      "leg_shuffle_partitions" -> legShuffleParts.toString)
 
     // hardware context: what the VM's threads actually deliver (~12 s) —
     // ALU scaling (≈ linear here) vs memory-bandwidth scaling (the real
@@ -473,6 +546,19 @@ object Bench {
     val membwInflationCap =
       math.max(1.0, (bw(nCores) / nCores) / (bw(n4Cores) / n4Cores))
     put("membw_inflation_cap" -> fmt(membwInflationCap))
+    // Random-access (dependent-load) scaling — the engine's hash-probe/GC
+    // access pattern. Its per-thread N→4N inflation is hardware-attributable
+    // exactly like the streaming-bandwidth one; the honest hardware cap on
+    // the work-corrected credit is the LARGER of the two (a hash-heavy
+    // pipeline is bound by this curve, not the sequential one).
+    val chase = Seq(nCores, n4Cores).map(n => n -> chaseProbe(n)).toMap
+    put(s"hw_randw_mops_$nCores" -> fmt(chase(nCores)),
+      s"hw_randw_mops_$n4Cores" -> fmt(chase(n4Cores)))
+    val randwInflationCap =
+      math.max(1.0, (chase(nCores) / nCores) / (chase(n4Cores) / n4Cores))
+    put("randw_inflation_cap" -> fmt(randwInflationCap))
+    val hwInflationCap = math.max(membwInflationCap, randwInflationCap)
+    put("hw_inflation_cap" -> fmt(hwInflationCap))
     // Host CPU-cap probe (~24 s): stolen cores under sustained N- and
     // 4N-thread pure-ALU load → the box's raw-scaling ceiling (scaladoc at
     // stealUnderLoad). The measured scaling_efficiency should be read
@@ -555,10 +641,11 @@ object Bench {
     def workCredit(bn: Run, b4: Run): Double = {
       val taskRatioNoGc =
         math.max(1.0, (b4.taskSec - b4.gcSec) / math.max(1e-9, bn.taskSec - bn.gcSec))
-      math.min(taskRatioNoGc, membwInflationCap)
+      math.min(taskRatioNoGc, hwInflationCap)
     }
     put("work_corrected_note" -> jstr(
-      "scaling_efficiency_work_corrected = raw eff x min(task(4N)/task(N) excl GC, membw_inflation_cap); " +
+      "scaling_efficiency_work_corrected = raw eff x min(task(4N)/task(N) excl GC, hw_inflation_cap); " +
+      "hw_inflation_cap = max(membw, random-access pointer-chase) per-thread N->4N slowdown; " +
       "self-normalized engine-vs-box estimate — raw scaling_efficiency is the criterion-facing number"))
 
     def reportPrimary(images: Long)(bn: Run, b4: Run): Unit = {
@@ -657,6 +744,53 @@ object Bench {
         "pipeline_sec_local8" -> fmt(bestN.wall), "pipeline_sec_local32" -> fmt(best4N.wall))
     }
 
-    println(render())
+    println(compactRender())
+  }
+
+  /** Final stdout line, COMPACT (round-4 VERDICT #2): the driver's tail
+    * capture keeps only the last ~2000 chars of stdout — round 4's full
+    * render (3.4 KB with the `draws` grid) truncated mid-line and the
+    * round artifact carried `parsed: null`. Fields are added in priority
+    * order under a hard 1900-char budget: the driver-contract headline +
+    * per-query map first, then scaling evidence, then sweep rungs. The FULL
+    * record (draws grid, notes, every sweep field) is always in the
+    * incrementally-written bench.json.
+    */
+  private def compactRender(): String = {
+    val budget = 1900
+    // sweep rungs compacted to their decision-relevant core
+    def compactSweep(v: String): String =
+      try {
+        val keep = Seq("families", "images", "images_per_sec_n", "images_per_sec_4n",
+          "scaling_efficiency", "scaling_efficiency_work_corrected",
+          "placement_n", "placement_4n")
+        val inner = v.stripPrefix("{").stripSuffix("}")
+          .split(",(?=\")").filter(p => keep.exists(k => p.startsWith("\"" + k + "\":")))
+        inner.mkString("{", ",", "}")
+      } catch { case _: Throwable => v }
+    val id: String => String = identity
+    val priority: Seq[(String, String => String)] =
+      Seq("metric", "value", "unit", "sf", "queries", "pipeline_images",
+        "scaling_n_cores", "scaling_4n_cores",
+        "images_per_sec_n", "images_per_sec_4n",
+        "pipeline_sec_n", "pipeline_sec_4n",
+        "placement_n", "placement_4n",
+        "scaling_efficiency", "scaling_efficiency_work_corrected",
+        "task_core_sec_n", "task_core_sec_4n").map(_ -> id) ++
+      // every sweep rung, in measurement order ("sweep", "sweep_<families>")
+      fields.keys.filter(_.startsWith("sweep")).toSeq.map(_ -> (compactSweep _)) ++
+      Seq("box_efficiency_ceiling", "hw_inflation_cap", "leg_shuffle_partitions",
+        "shared_audited_pipeline_sec", "shared_tiered_clusters_sec",
+        "images_per_sec_local8", "images_per_sec_local32").map(_ -> id)
+    val parts = scala.collection.mutable.ArrayBuffer[String]()
+    var len = 2 // braces
+    priority.foreach { case (k, xf) =>
+      fields.get(k).foreach { raw =>
+        val v = xf(raw)
+        val piece = "\"" + k + "\":" + v
+        if (len + piece.length + 1 <= budget) { parts += piece; len += piece.length + 1 }
+      }
+    }
+    parts.mkString("{", ",", "}")
   }
 }
