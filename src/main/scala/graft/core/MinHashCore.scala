@@ -49,6 +49,27 @@ object MinHashCore {
     sig
   }
 
+  /** Boxing-free range variant over a primitive array — same result as
+    * `signature(arr.slice(from, until), perms)` (min is order- and
+    * duplicate-insensitive). Hot-path twin for [[FingerprintHasher]].
+    */
+  def signature(tokenHashes: Array[Long], from: Int, until: Int,
+                perms: Array[Long]): Array[Long] = {
+    val sig = Array.fill(perms.length)(Long.MaxValue)
+    var t = from
+    while (t < until) {
+      val base = tokenHashes(t)
+      var i = 0
+      while (i < perms.length) {
+        val h = permHash(base, perms(i))
+        if (h < sig(i)) sig(i) = h
+        i += 1
+      }
+      t += 1
+    }
+    sig
+  }
+
   /** Band hash: bands of `rowsPerBand` consecutive signature lanes, each
     * folded to one 64-bit value. Two rows share a band bucket iff the band's
     * lanes are all equal (with 64-bit lanes, collisions are negligible).

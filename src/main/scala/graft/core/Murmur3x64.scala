@@ -31,13 +31,20 @@ object Murmur3x64 {
   /** Full 128-bit hash → (h1, h2) as two signed Longs (bit-identical to the
     * C `uint64_t out[2]`). `seed` is zero-extended like the C `uint32_t`.
     */
-  def hash128(data: Array[Byte], seed: Long): (Long, Long) = {
-    val len = data.length
+  def hash128(data: Array[Byte], seed: Long): (Long, Long) =
+    hash128(data, 0, data.length, seed)
+
+  /** Range variant — hashes `data[off, off+len)`; bit-identical to hashing a
+    * copy of that range. Lets hot paths (per-shingle hashing over a reusable
+    * encode buffer) avoid a byte[] allocation per hash call.
+    */
+  def hash128(data: Array[Byte], off: Int, len: Int, seed: Long): (Long, Long) = {
     val nblocks = len / 16
     var h1 = seed & 0xffffffffL
     var h2 = seed & 0xffffffffL
 
-    @inline def getLong(i: Int): Long = {
+    @inline def getLong(i0: Int): Long = {
+      val i = off + i0
       // little-endian 8-byte read at offset i
       (data(i) & 0xffL) |
         ((data(i + 1) & 0xffL) << 8) |
@@ -61,7 +68,7 @@ object Murmur3x64 {
     }
 
     // tail
-    val tail = nblocks * 16
+    val tail = off + nblocks * 16
     var k1 = 0L
     var k2 = 0L
     val rem = len & 15

@@ -27,15 +27,52 @@ object SimHashCore {
     * relabeling of the reference's weightVec indices — Hamming distances
     * and bit-rule outcomes are invariant under it).
     */
-  def addShingle64(sums: Array[Int], word: String, weight: Int): Unit = {
-    if (weight != 0) {
-      val h = Murmur3x64.hash64(word, Seed)
-      var k = 0
-      while (k < 64) {
-        sums(k) += (if (((h >>> k) & 1L) != 0L) weight else -weight)
-        k += 1
-      }
+  def addShingle64(sums: Array[Int], word: String, weight: Int): Unit =
+    if (weight != 0) addHashBits64(sums, Murmur3x64.hash64(word, Seed), weight)
+
+  /** Fold an already-computed shingle hash into the 64-lane sum vector —
+    * the hash-level half of [[addShingle64]], shared with the
+    * allocation-free fingerprint path ([[FingerprintHasher]]).
+    */
+  def addHashBits64(sums: Array[Int], h: Long, weight: Int): Unit = {
+    var k = 0
+    while (k < 64) {
+      sums(k) += (if (((h >>> k) & 1L) != 0L) weight else -weight)
+      k += 1
     }
+  }
+
+  /** 128-lane fold of a precomputed (h1, h2) — the hash-level body of
+    * [[simhash128]]'s per-shingle step, shared with [[FingerprintHasher]].
+    */
+  def addHashBits128(sums: Array[Int], h1: Long, h2: Long, weight: Int): Unit = {
+    var j = 0
+    while (j < 64) {
+      sums(j) += (if (((h1 >>> (63 - j)) & 1L) != 0L) weight else -weight)
+      j += 1
+    }
+    while (j < 128) {
+      sums(j) += (if (((h2 >>> (127 - j)) & 1L) != 0L) weight else -weight)
+      j += 1
+    }
+  }
+
+  /** Pack 128 summed lanes with the `> 1` bit rule — the finish half of
+    * [[simhash128]], shared with [[FingerprintHasher]].
+    */
+  def finish128(sums: Array[Int]): (Long, Long) = {
+    var hi = 0L
+    var lo = 0L
+    var j = 0
+    while (j < 64) {
+      if (sums(j) > 1) hi |= (1L << (63 - j))
+      j += 1
+    }
+    while (j < 128) {
+      if (sums(j) > 1) lo |= (1L << (127 - j))
+      j += 1
+    }
+    (hi, lo)
   }
 
   /** Merge two partial sum vectors (associative + commutative — safe as a
@@ -77,35 +114,14 @@ object SimHashCore {
     val sums = new Array[Int](128)
     shingles.iterator.foreach { case (word, weight) =>
       if (weight != 0) {
-        val (h1, h2) = Murmur3x64.hash128(word, Seed)
         // string char j (0-based, MSB-first): j<64 → bit (63-j) of h1;
         // j>=64 → bit (127-j) of h2. weightVec[j] = ±w for string char j
         // (bits[127-j] in bitset order; EigenWord.cpp:39-44 relabeled).
-        var j = 0
-        while (j < 64) {
-          val bit = (h1 >>> (63 - j)) & 1L
-          sums(j) += (if (bit != 0L) weight else -weight)
-          j += 1
-        }
-        while (j < 128) {
-          val bit = (h2 >>> (127 - j)) & 1L
-          sums(j) += (if (bit != 0L) weight else -weight)
-          j += 1
-        }
+        val (h1, h2) = Murmur3x64.hash128(word, Seed)
+        addHashBits128(sums, h1, h2, weight)
       }
     }
-    var hi = 0L
-    var lo = 0L
-    var j = 0
-    while (j < 64) {
-      if (sums(j) > 1) hi |= (1L << (63 - j))
-      j += 1
-    }
-    while (j < 128) {
-      if (sums(j) > 1) lo |= (1L << (127 - j))
-      j += 1
-    }
-    (hi, lo)
+    finish128(sums)
   }
 
   def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)

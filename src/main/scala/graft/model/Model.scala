@@ -27,7 +27,11 @@ final case class FingerprintRow(
     grams: Array[Long], // distinct k-gram hashes, for exact Jaccard verify
     span: Int,
     group: String,
-    simhash_lo: Long = 0L // 128-bit mode only; 0 in 64-bit mode
+    simhash_lo: Long = 0L, // 128-bit mode only; 0 in 64-bit mode
+    // normalized caption, carried so downstream passes (substring anchor
+    // join) reuse the fingerprint stage's one normalization instead of
+    // re-scanning + re-normalizing the raw captions (round-4 VERDICT #3)
+    caption_norm: String = ""
 )
 
 final case class VerifiedEdge(a: String, b: String, tier: String, source: String)

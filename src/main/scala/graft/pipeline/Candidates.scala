@@ -222,12 +222,18 @@ object Candidates {
     } else {
       // collapse rows with identical (simhash, span, group) — d=0 and
       // span-compatible by construction — unless a group compare mode needs
-      // per-row group checks
+      // per-row group checks. Project to the five columns this pass reads
+      // BEFORE the collapse: the groupBy+join-back shuffles every row, and
+      // the full fingerprint row is ~1 KB (minhash + gram arrays +
+      // caption_norm) vs ~50 B for the simhash columns — a 20x shuffle-byte
+      // cut on the heaviest all-rows exchange of the pipeline.
       val groupMode = onlyDiffGroup || onlySameGroup
+      val narrow = fps.toDF().select(
+        col("image_id"), col("simhash"), col("simhash_lo"), col("span"), col("group"))
       val (base, star) =
-        if (groupMode) (fps.toDF(), None)
+        if (groupMode) (narrow, None)
         else {
-          val (r, s) = collapseExact(fps.toDF(),
+          val (r, s) = collapseExact(narrow,
             Seq("simhash", "simhash_lo", "span", "group"))
           (r, Some(s))
         }
@@ -263,8 +269,12 @@ object Candidates {
   def bandPairs(fps: Dataset[FingerprintRow], cfg: GraftConfig,
                 expandPairs: Boolean = false): DataFrame = {
     // collapse identical gram sets (Jaccard 1 by construction) to one
-    // representative each — a mega-group of equal captions costs O(|group|)
-    val (reps, star) = collapseExact(fps.toDF(), Seq("grams"))
+    // representative each — a mega-group of equal captions costs O(|group|).
+    // Projected to the three columns this pass reads (id, grams for
+    // key+verify, minhash for band keys) before the all-rows collapse
+    // shuffle — drops simhash/span/group/caption_norm payload.
+    val (reps, star) = collapseExact(
+      fps.toDF().select(col("image_id"), col("grams"), col("minhash")), Seq("grams"))
     val keyed = reps
       .select(col("image_id"),
         posexplode(bandKeyCol(cfg)).as(Seq("bandIdx", "bandKey")))

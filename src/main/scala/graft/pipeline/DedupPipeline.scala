@@ -100,11 +100,13 @@ object DedupPipeline {
     val edges = staged("edges") {
       val base = Candidates.allCandidates(fps, cfg)
       if (cfg.substringPass) {
-        // J5: exact word-aligned caption-substring pairs (anchor-gram join)
-        val normUdf = udf((s: String) => graft.core.Shingling.normalize(s))
-        val rows = images
-          .select(col("image_id"), normUdf(col("caption")).as("caption_norm"))
-          .withColumn("span", length(col("caption_norm")))
+        // J5: exact word-aligned caption-substring pairs (anchor-gram join),
+        // fed from the fingerprint stage's carried caption_norm — ONE
+        // normalization pass and no second scan of the raw captions (the
+        // stage checkpoint is the substring pass's input). Feeding gated
+        // rows is lossless: an emitted pair needs a_span > minSpan (anchor
+        // gate) and a_span < b_span, so both endpoints pass the stage gate.
+        val rows = fpsDf.select(col("image_id"), col("caption_norm"), col("span"))
         base
           .unionByName(Substring.substringPairs(rows, cfg)
             .withColumn("source", lit("substring")))

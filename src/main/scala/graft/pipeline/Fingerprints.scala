@@ -24,9 +24,11 @@ import graft.model.FingerprintRow
   */
 object Fingerprints {
 
-  /** Pure per-row fingerprint — shared verbatim by the Spark stage and the
-    * sequential oracle, which is what makes "same shingle/signature config"
-    * (north_rule) checkable.
+  /** Pure per-row fingerprint — the REFERENCE-SHAPED implementation, used
+    * by the sequential oracle, Calibrate, and the fidelity goldens, which is
+    * what makes "same shingle/signature config" (north_rule) checkable. The
+    * Spark stage runs the allocation-free twin [[FingerprintHasher]];
+    * FastFingerprintSpec pins the two bit-identical over generated inputs.
     */
   def fingerprintOf(imageId: String, caption: String, phash: Long, group: String,
                     cfg: GraftConfig, perms: Array[Long]): FingerprintRow = {
@@ -45,7 +47,8 @@ object Fingerprints {
       }
     val grams = Shingling.minhashTokenHashes(norm, cfg)
     val sig = MinHashCore.signature(grams, perms)
-    FingerprintRow(imageId, simhash, sig, grams.sorted, Shingling.span(norm), group, simhashLo)
+    FingerprintRow(imageId, simhash, sig, grams.sorted, Shingling.span(norm), group,
+      simhashLo, norm)
   }
 
   /** Fingerprint stage: reads ONLY (image_id, caption, phash[, group]) —
@@ -64,7 +67,16 @@ object Fingerprints {
                     else images.select(cols :+ lit("").as("group"): _*)
     withGroup
       .as[(String, String, Long, String)]
-      .map { case (id, cap, ph, grp) => fingerprintOf(id, cap, ph, grp, cfg, perms) }
+      .mapPartitions { iter =>
+        // one scratch-buffer hasher per partition (allocation-free hot loop;
+        // bit-identical to fingerprintOf — FastFingerprintSpec)
+        val hasher = new FingerprintHasher(cfg, perms)
+        iter.map { case (id, cap, ph, grp) =>
+          val fp = hasher.fingerprint(cap, ph)
+          FingerprintRow(id, fp.simhash, fp.minhash, fp.grams, fp.span, grp,
+            fp.simhashLo, fp.norm)
+        }
+      }
       .filter(_.span > cfg.minSpan) // strict '>' like the reference gate
   }
 
