@@ -103,14 +103,28 @@ object Bench {
   private def session(cores: Int, shufflePartitions: Int = 0)
       : (SparkSession, graft.tools.ScaleProbe.Meter) = {
     val parts = if (shufflePartitions > 0) shufflePartitions else cores
-    val s = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(s"graft-bench-$cores")
       .config("spark.sql.shuffle.partitions", parts.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // Shuffle/spill dir on tmpfs by default (bench shuffle volume is ~1.5 GB
+    // at 257k images on a 128 GiB box): takes the virtio disk's concurrency
+    // behavior out of the scaling legs. A real cluster node shuffles to
+    // local NVMe; env GRAFT_LOCAL_DIR overrides, empty value disables.
+    sys.env.get("GRAFT_LOCAL_DIR").orElse(Some("/dev/shm/graft-spark"))
+      .filter(_.nonEmpty).foreach { d =>
+        new java.io.File(d).mkdirs()
+        builder.config("spark.local.dir", d)
+      }
+    // AQE post-shuffle coalesce target (the real post-shuffle task
+    // granularity knob); default Spark 64m — measured ~neutral here, kept
+    // overridable for box characterization.
+    sys.env.get("GRAFT_ADVISORY_MB").foreach(m =>
+      builder.config("spark.sql.adaptive.advisoryPartitionSizeInBytes", s"${m}m"))
+    val s = builder.getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     // fresh Meter per session: a shared listener instance re-registered on
     // every session is one leak away from double-counting task time
@@ -393,8 +407,8 @@ object Bench {
     * measures DRAM random-access throughput under n-thread concurrency.
     * Returns aggregate Mchases/s.
     */
-  private def chaseProbe(nThreads: Int): Double = {
-    val slots = 8 * 1024 * 1024 // 64 MiB of longs per thread
+  private def chaseProbe(nThreads: Int, slots: Int = 8 * 1024 * 1024): Double = {
+    // default: 64 MiB of longs per thread (DRAM regime at every level)
     val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
     val hops = new java.util.concurrent.atomic.AtomicLong(0L)
     val ready = new java.util.concurrent.CountDownLatch(nThreads)
@@ -557,7 +571,24 @@ object Bench {
     val randwInflationCap =
       math.max(1.0, (chase(nCores) / nCores) / (chase(n4Cores) / n4Cores))
     put("randw_inflation_cap" -> fmt(randwInflationCap))
-    val hwInflationCap = math.max(membwInflationCap, randwInflationCap)
+    // Shared-L3 CAPACITY ceiling (round-5): this box has one 105 MB L3
+    // across 32 cores, so a per-task working set (sort buffer / hash map,
+    // ~5-10 MB) is L3-RESIDENT on the N-thread leg (N x WS << L3) but
+    // DRAM-bound on the 4N-thread leg (4N x WS > L3). The 64 MiB chase
+    // above misses this entirely (DRAM at BOTH levels, cap ~1.05 measured)
+    // — the transition, not the endpoint, is what inflates task time. A
+    // real N→4N-EXECUTOR scale-up adds one L3 per node and never crosses
+    // this transition; on the single box it is hardware-attributable.
+    // Probe: same dependent-load chase at 8 MiB/thread (N x 8 = 32 MB
+    // fits L3; 4N x 8 = 128 MB does not).
+    val cacheChase = Seq(nCores, n4Cores).map(n => n -> chaseProbe(n, 1024 * 1024)).toMap
+    put(s"hw_l3w_mops_$nCores" -> fmt(cacheChase(nCores)),
+      s"hw_l3w_mops_$n4Cores" -> fmt(cacheChase(n4Cores)))
+    val cacheInflationCap = math.max(1.0,
+      (cacheChase(nCores) / nCores) / (cacheChase(n4Cores) / n4Cores))
+    put("l3_capacity_inflation_cap" -> fmt(cacheInflationCap))
+    val hwInflationCap =
+      math.max(membwInflationCap, math.max(randwInflationCap, cacheInflationCap))
     put("hw_inflation_cap" -> fmt(hwInflationCap))
     // Host CPU-cap probe (~24 s): stolen cores under sustained N- and
     // 4N-thread pure-ALU load → the box's raw-scaling ceiling (scaladoc at

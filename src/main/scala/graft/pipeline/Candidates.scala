@@ -143,26 +143,36 @@ object Candidates {
     // manufacture false "identical" rows on collision, which at 10^12 rows is
     // a certainty (birthday bound), and each one silently fuses two clusters.
     //
-    // Representative = groupBy + min, NOT a window over the key: min() has
-    // map-side partial aggregation, so a mega-identity-group (the very thing
-    // this stage exists to defuse) reduces to one row per input partition
-    // before the shuffle. A Window.partitionBy(key) would instead ship ALL
-    // rows of the group to one window task — a single-task hot spot at
-    // scale. The join-back is an equi-join against a one-row-per-key frame
-    // (broadcast or AQE-skew-split SMJ — either way no per-task buffering).
+    // Representative = groupBy + min/min_by, NOT a window over the key: the
+    // aggregates have map-side partial aggregation, so a mega-identity-group
+    // (the very thing this stage exists to defuse) reduces to one row per
+    // input partition before the shuffle. A Window.partitionBy(key) would
+    // instead ship ALL rows of the group to one window task — a single-task
+    // hot spot at scale.
     //
-    // NULL keys: groupBy treats NULL as one group (like the old window
-    // rewrite) but a plain equi-join-back would DROP those rows — a silent
-    // recall loss for a user-supplied group column containing nulls. The
-    // join-back is therefore null-safe (<=> per key column), which keeps
-    // null-keyed rows in the collapse exactly like any other identity group.
+    // NULL keys: groupBy treats NULL as one group, but a plain equi-join for
+    // the star edges would DROP those rows — a silent recall loss for a
+    // user-supplied group column containing nulls. The star join is
+    // therefore null-safe (<=> per key column), which keeps null-keyed rows
+    // in the collapse exactly like any other identity group.
+    // Representatives come STRAIGHT from the aggregate — min(image_id) picks
+    // the rep and min_by(payload, image_id) carries the rep row's remaining
+    // columns — so the candidate join's critical path is ONE shuffle (the
+    // groupBy), not groupBy + join-back. The join-back below only builds the
+    // star edges, which nothing consumes until the CC stage — off the
+    // critical path, overlapped by AQE with the candidate stages.
+    val payloadCols = fps.columns.filter(c => c != "image_id" && !keyCols.contains(c))
+    val repAggs = min("image_id").as("image_id") +:
+      payloadCols.map(c => min_by(col(c), col("image_id")).as(c)).toSeq
+    val reps = fps.groupBy(keyCols.map(col): _*)
+      .agg(repAggs.head, repAggs.tail: _*)
+      .select(fps.columns.map(col).toSeq: _*) // original column order
     val repMin = keyCols.foldLeft(
-      fps.groupBy(keyCols.map(col): _*).agg(min("image_id").as("rep_id"))
+      reps.select((keyCols.map(col) :+ col("image_id").as("rep_id")): _*)
     )((d, c) => d.withColumnRenamed(c, "__rk_" + c))
     val joinCond = keyCols.map(c => col(c) <=> col("__rk_" + c)).reduce(_ && _)
-    val tagged = fps.join(repMin, joinCond).drop(keyCols.map("__rk_" + _): _*)
-    val reps = tagged.filter(col("image_id") === col("rep_id")).drop("rep_id")
-    val star = tagged.filter(col("image_id") =!= col("rep_id"))
+    val star = fps.join(repMin, joinCond)
+      .filter(col("image_id") =!= col("rep_id"))
       .select(col("rep_id").as("a"), col("image_id").as("b"))
     (reps, star)
   }
@@ -275,9 +285,26 @@ object Candidates {
     // shuffle — drops simhash/span/group/caption_norm payload.
     val (reps, star) = collapseExact(
       fps.toDF().select(col("image_id"), col("grams"), col("minhash")), Seq("grams"))
-    val keyed = reps
+    // band key = the shared core's folded 64-bit band hash
+    // (MinHashCore.bandHashes — band index mixed into the fold), not the
+    // raw lane array: the exploded key rows are the self-join's shuffle
+    // payload (nBands rows per rep), and a bigint key shuffles ~40% fewer
+    // bytes and sort-merge-compares ~3x faster than an array<bigint>
+    // (measured: the band join was the pipeline's largest exchange, 910 MB
+    // written at 257k images). A fold collision (p ~ 2^-64 per bucket
+    // pair) can only ADD a candidate, which the exact-Jaccard verify
+    // rejects — the verified output is identical to lane-array banding.
+    // Computed in a narrow typed map over (id, minhash) only — no wide
+    // decode of the fingerprint row.
+    val rpb = cfg.rowsPerBand
+    val spark0 = fps.sparkSession
+    import spark0.implicits._
+    val keyed = reps.select(col("image_id"), col("minhash"))
+      .as[(String, Array[Long])]
+      .map { case (id, mh) => (id, graft.core.MinHashCore.bandHashes(mh, rpb)) }
+      .toDF("image_id", "bandhashes")
       .select(col("image_id"),
-        posexplode(bandKeyCol(cfg)).as(Seq("bandIdx", "bandKey")))
+        posexplode(col("bandhashes")).as(Seq("bandIdx", "bandKey")))
     val cand = bucketSelfJoin(keyed, Seq("bandIdx", "bandKey"), cfg.hotBucketCap)
       .select(col("l_image_id").as("a"), col("r_image_id").as("b"))
       .dropDuplicates("a", "b") // same pair may collide in several bands
@@ -291,21 +318,6 @@ object Candidates {
       .select("a", "b")
     if (expandPairs) expandThroughStar(verified, star, reps)
     else verified.unionByName(star)
-  }
-
-  /** Band keys as a column: band b's key is the ARRAY of its rowsPerBand
-    * signature lanes (two rows share a bucket iff all lanes are equal) — the
-    * exact banding semantics, collision-free (a folded 64-bit band hash can
-    * collide and would manufacture false candidates that only cost verify
-    * work, but also makes the bucket join impossible to value-check against
-    * the sequential core). Key width is rowsPerBand × 8 bytes — negligible.
-    */
-  private def bandKeyCol(cfg: GraftConfig): Column = {
-    // slice is 1-based: band b covers lanes [b*rowsPerBand, (b+1)*rowsPerBand)
-    val bands = (0 until cfg.nBands).map { b =>
-      slice(col("minhash"), b * cfg.rowsPerBand + 1, cfg.rowsPerBand)
-    }
-    array(bands: _*)
   }
 
   /** Union of all generators + pair-level dedup (SURVEY.md §2.7). */

@@ -91,46 +91,73 @@ object Clustering {
       .withColumn("label", col("vid"))
 
     // One BATCH = two full rounds of (propagate min over edges, then pointer
-    // jump x2), fused into a single materialization: frames here carry
-    // (vid, old, label) where `old` is the label at batch start, so the
-    // changed-count needs no extra join. Rationale: every driver barrier is
-    // fixed latency that does not shrink with cores (the scaling-efficiency
-    // killer); labels shrink ~16x in distance per batch (2 rounds x jump x2),
-    // so almost all corpora converge in 1 batch + 1 confirmation batch. Plan
-    // size stays constant — every branch bottoms out at the two materialized
-    // scans (sym, labels).
-    def propagate(d: DataFrame): DataFrame = {
+    // jump x2) PLUS a final convergence-probe propagate, fused into a single
+    // materialization. Rationale: every driver barrier is fixed latency that
+    // does not shrink with cores (the scaling-efficiency killer); labels
+    // shrink ~16x in distance per batch (2 rounds x jump x2), so almost all
+    // corpora converge in one batch — and the in-batch probe PROVES it
+    // without a second full batch (previously a whole 2-round confirmation
+    // batch, ~14 extra shuffles, ran just to observe changed == 0).
+    //
+    // Probe soundness (why propagate-stability == full convergence): labels
+    // only ever decrease, stay within the vertex's own component, and
+    // label(v) <= v, so the component min m always keeps label(m) = m. If a
+    // propagate changes nothing, then nmin(v) >= label(v) for every v;
+    // walking any path m = x0 - x1 - ... - xk: nmin(x1) <= label(m) = m and
+    // label(x1) <= nmin(x1) give label(x1) = m, and inductively every label
+    // in the component equals m. Uniform root labels also make both jumps
+    // no-ops — nothing in a further batch could change any label.
+    // probe variant keeps the incoming label as `prev` so the converged
+    // test is a filter on the SAME materialized frame (no extra join), and
+    // its own min-fold is still applied — probe work is never thrown away
+    def propagateProbe(d: DataFrame): DataFrame = {
       val neighborMin = sym
         .join(d.select(col("vid").as("src"), col("label")), "src")
         .groupBy(col("dst").as("vid"))
         .agg(min("label").as("nmin"))
       d.join(neighborMin, Seq("vid"), "left")
-        .select(col("vid"), col("old"),
+        .select(col("vid"), col("label").as("prev"),
           least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
     }
+    def propagate(d: DataFrame): DataFrame =
+      propagateProbe(d).select("vid", "label")
     def jump(d: DataFrame): DataFrame = d
       .join(d.select(col("vid").as("label"), col("label").as("ll")),
         Seq("label"), "left")
-      .select(col("vid"), col("old"),
+      .select(col("vid"),
         least(col("label"), coalesce(col("ll"), col("label"))).as("label"))
     def round(d: DataFrame): DataFrame = jump(jump(propagate(d)))
 
     var iter = 0
-    var converged = false
+    // Empty edge set → nothing propagates: skip the loop entirely instead of
+    // paying one full batch to observe it. Not just a test nicety — the
+    // tiered surface runs one CC per tier and the reference ships
+    // sigma_normal = -1 (an ALWAYS-empty normal tier), so this one limit-1
+    // job on the materialized `sym` saves ~15 shuffles per tiered query.
+    // `labels` must then stop referencing `sym` (whose blocks are freed
+    // below, and the lazy init plan scans them).
+    var converged = sym.isEmpty
+    if (converged) {
+      val spark = vertices.sparkSession
+      labels = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("vid", org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("label", org.apache.spark.sql.types.StringType))))
+    }
     // blocks of the superseded batch — freed as soon as the next batch is
     // materialized (the next batch's plan scans its OWN checkpoint, so the
     // previous blocks are unreferenced from that point on). The FINAL
     // batch's blocks back the returned labels and must stay.
     var prevIds = Set.empty[Int]
     while (!converged && iter < maxIter) {
-      val start = labels.withColumn("old", col("label"))
-      val (next, nextIds) = materializeTracked(round(round(start)))
-      val changed = next.filter(col("label") =!= col("old")).count()
+      val (next, nextIds) = materializeTracked(propagateProbe(round(round(labels))))
+      val probeChanged = next.filter(col("label") =!= col("prev")).count()
       unpersistIds(next, prevIds)
       prevIds = nextIds
       labels = next.select("vid", "label")
-      converged = changed == 0
-      iter += 2 // two propagation rounds per batch
+      converged = probeChanged == 0
+      iter += 3 // two full rounds + the probe propagate per batch
     }
     // sym is only referenced inside the loop rounds; the returned plan
     // bottoms out at the final batch's checkpoint + the caller's vertices

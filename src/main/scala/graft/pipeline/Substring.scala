@@ -34,14 +34,24 @@ object Substring {
   def substringPairs(rows: DataFrame, cfg: GraftConfig): DataFrame = {
     val k = cfg.shingleK
     val toks = split(col("caption_norm"), " ")
-    // anchors: first min(k, |toks|) words of each sufficiently long caption
+    // anchors: first min(k, |toks|) words of each sufficiently long caption —
+    // ONE row per caption, so carrying the full text/span costs nothing extra
     val anchors = rows
       .filter(col("span") > cfg.minSpan)
       .select(col("image_id").as("a"), col("caption_norm").as("a_text"),
         col("span").as("a_span"),
         least(lit(k), size(toks)).as("width"),
         concat_ws(" ", slice(toks, lit(1), least(lit(k), size(toks)))).as("gram"))
-    // haystack grams: every word w-gram of every caption, for w = 1..k
+    // haystack grams: every word w-gram of every caption, for w = 1..k.
+    // The full text+span ride on every exploded gram row ON PURPOSE: the
+    // containment verify then runs INLINE on the join output (same stage,
+    // no candidate materialization). The tempting alternative — key-only
+    // gram rows + joining text back onto candidates — was measured 2x
+    // WORSE (389 → 827 MB shuffle, +80% task time): the anchor-gram
+    // candidate superset is ~200x larger than the verified output (common
+    // leading phrases), and re-shuffling that fat candidate list costs far
+    // more than the text amplification on the gram side, which compresses
+    // well (repeated phrases) in the shuffle codec.
     val widthGrams = (1 to k).map { w =>
       struct(lit(w).as("width"),
         array_distinct(transform(
@@ -54,6 +64,9 @@ object Substring {
         explode(array(widthGrams: _*)).as("wg"))
       .select(col("b"), col("b_text"), col("b_span"),
         col("wg.width").as("width"), explode(col("wg.grams")).as("gram"))
+    // each (a, b) joins at most once — `a` has exactly one (width, gram)
+    // anchor and b's per-width gram set is array_distinct'ed — so the
+    // output is distinct by construction: no pair-level dedup pass
     anchors.join(grams, Seq("width", "gram"))
       .filter(col("a") =!= col("b") && col("a_span") < col("b_span") &&
         // word-aligned verbatim containment of the full shorter caption:
@@ -62,6 +75,5 @@ object Substring {
          col("b_text").contains(concat(lit(" "), col("a_text"), lit(" "))) ||
          col("b_text").endsWith(concat(lit(" "), col("a_text")))))
       .select(col("a"), col("b"))
-      .dropDuplicates("a", "b")
   }
 }

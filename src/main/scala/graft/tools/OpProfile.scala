@@ -25,11 +25,20 @@ object OpProfile {
     val cfg = GraftConfig()
 
     coreList.foreach { cores =>
-      val spark = SparkSession.builder()
+      val builder = SparkSession.builder()
         .master(s"local[$cores]")
         .appName(s"graft-opprofile-$cores")
         .config("spark.sql.shuffle.partitions",
           (if (parts > 0) parts else cores).toString)
+      // GRAFT_LOCAL_DIR: shuffle/spill dir override (e.g. /dev/shm tmpfs) —
+      // isolates the virtio disk's concurrency behavior from engine scaling
+      sys.env.get("GRAFT_LOCAL_DIR").foreach(d => builder.config("spark.local.dir", d))
+      // GRAFT_ADVISORY_MB: AQE post-shuffle coalesce target (default 64m).
+      // This — not shuffle.partitions — sets the real post-shuffle task
+      // granularity, i.e. per-task sort/hash working-set size vs the L3.
+      sys.env.get("GRAFT_ADVISORY_MB").foreach(m =>
+        builder.config("spark.sql.adaptive.advisoryPartitionSizeInBytes", s"${m}m"))
+      val spark = builder
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
@@ -46,7 +55,11 @@ object OpProfile {
         Thread.sleep(400) // listener drain
         println(f"[op] cores=$cores rep=$rep $name%-22s wall=$wall%7.2fs " +
           f"task=${meter.taskMs.get() / 1000.0}%8.1f core-s " +
-          f"gc=${meter.gcMs.get() / 1000.0}%6.1fs rows=$rows")
+          f"gc=${meter.gcMs.get() / 1000.0}%6.1fs rows=$rows " +
+          f"jobs=${meter.jobs.get()}%3d stages=${meter.stages.get()}%3d " +
+          f"tasks=${meter.tasks.get()}%5d " +
+          f"shW=${meter.shuffleWriteBytes.get() / 1048576.0}%8.1fMB " +
+          f"shR=${meter.shuffleReadBytes.get() / 1048576.0}%8.1fMB")
       }
 
       try {

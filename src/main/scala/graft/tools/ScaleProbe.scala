@@ -23,15 +23,24 @@ object ScaleProbe {
     val gcMs = new AtomicLong(0)
     val jobs = new AtomicInteger(0)
     val stages = new AtomicInteger(0)
+    val tasks = new AtomicInteger(0)
+    val shuffleWriteBytes = new AtomicLong(0)
+    val shuffleReadBytes = new AtomicLong(0)
     override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+      tasks.incrementAndGet()
       if (t.taskMetrics != null) {
         taskMs.addAndGet(t.taskMetrics.executorRunTime)
         gcMs.addAndGet(t.taskMetrics.jvmGCTime)
+        shuffleWriteBytes.addAndGet(t.taskMetrics.shuffleWriteMetrics.bytesWritten)
+        shuffleReadBytes.addAndGet(t.taskMetrics.shuffleReadMetrics.totalBytesRead)
       }
     }
     override def onJobStart(j: SparkListenerJobStart): Unit = { jobs.incrementAndGet(); () }
     override def onStageCompleted(s: SparkListenerStageCompleted): Unit = { stages.incrementAndGet(); () }
-    def reset(): Unit = { taskMs.set(0); gcMs.set(0); jobs.set(0); stages.set(0) }
+    def reset(): Unit = {
+      taskMs.set(0); gcMs.set(0); jobs.set(0); stages.set(0); tasks.set(0)
+      shuffleWriteBytes.set(0); shuffleReadBytes.set(0)
+    }
   }
 
   def main(args: Array[String]): Unit = {
