@@ -38,6 +38,15 @@ object OpProfile {
       // granularity, i.e. per-task sort/hash working-set size vs the L3.
       sys.env.get("GRAFT_ADVISORY_MB").foreach(m =>
         builder.config("spark.sql.adaptive.advisoryPartitionSizeInBytes", s"${m}m"))
+      // GRAFT_SPARK_EXTRA: semicolon-separated key=value Spark confs — the
+      // A/B attribution knob (e.g. task.cpus to fix concurrency at a pool
+      // size, adaptive.coalescePartitions.parallelismFirst=false to pin
+      // post-shuffle task granularity across core counts)
+      sys.env.get("GRAFT_SPARK_EXTRA").foreach(_.split(';').filter(_.contains('='))
+        .foreach { kv =>
+          val Array(k, v) = kv.split("=", 2)
+          builder.config(k.trim, v.trim)
+        })
       val spark = builder
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
@@ -55,11 +64,14 @@ object OpProfile {
         Thread.sleep(400) // listener drain
         println(f"[op] cores=$cores rep=$rep $name%-22s wall=$wall%7.2fs " +
           f"task=${meter.taskMs.get() / 1000.0}%8.1f core-s " +
+          f"cpu=${meter.cpuMs.get() / 1000.0}%8.1f core-s " +
           f"gc=${meter.gcMs.get() / 1000.0}%6.1fs rows=$rows " +
           f"jobs=${meter.jobs.get()}%3d stages=${meter.stages.get()}%3d " +
           f"tasks=${meter.tasks.get()}%5d " +
           f"shW=${meter.shuffleWriteBytes.get() / 1048576.0}%8.1fMB " +
-          f"shR=${meter.shuffleReadBytes.get() / 1048576.0}%8.1fMB")
+          f"shR=${meter.shuffleReadBytes.get() / 1048576.0}%8.1fMB " +
+          f"spill=${meter.diskSpilled.get() / 1048576.0}%6.1fMB " +
+          f"peakMem=${meter.peakExecMem.get() / 1048576.0}%6.1fMB")
       }
 
       try {
