@@ -35,6 +35,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   // local-mode Spark = driver-only JVM: heap serves executor threads,
   // shuffle buffers, and localCheckpoint blocks; 8g thrashes GC on the
-  // bench corpora (box has 128 GiB)
+  // bench corpora (box has 128 GiB). Xms = Xmx matches what spark-submit
+  // sets on real executors and stops G1 from uncommitting + re-faulting
+  // heap pages between bench legs (round-5: fresh-page faults tripled the
+  // single-thread cost of the allocation probe on this virtualized box).
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
 )

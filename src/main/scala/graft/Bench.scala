@@ -107,6 +107,15 @@ object Bench {
       .master(s"local[$cores]")
       .appName(s"graft-bench-$cores")
       .config("spark.sql.shuffle.partitions", parts.toString)
+    // Task-layout parity across scaling legs (round-5): defaultParallelism
+    // drives parquet split counts AND AQE's parallelism-first coalescing
+    // target, both of which otherwise follow the core count — the two legs
+    // would then run different task layouts and the leg ratio would mix
+    // granularity effects into the engine measurement. (The round-5
+    // task.cpus discriminator showed granularity is NOT the inflation
+    // cause, but identical layouts keep the comparison airtight.)
+    if (shufflePartitions > 0)
+      builder.config("spark.default.parallelism", parts.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -450,6 +459,57 @@ object Bench {
     hops.get() / ((System.nanoTime() - t0) / 1e9) / 1e6
   }
 
+  /** Allocation-machinery scaling probe (no Spark): each thread allocates
+    * small long/byte arrays (the UnsafeRow/UTF8String churn shape of Spark
+    * task code), touches a few slots, and keeps a small rolling live window
+    * so a fraction survives the TLAB. Round-5 attribution: the engine's
+    * 4→16-thread task-time inflation is ON-CPU (executorCpuTime), vanishes
+    * at 4 CONCURRENT tasks on a 16-thread pool (spark.task.cpus=4
+    * discriminator), reproduces across separate executor JVMs
+    * (ClusterProbe), and is NOT explained by the ALU/streaming/
+    * pointer-chase/L3-capacity probes (all ≈1.0-1.2x) — while THIS probe's
+    * per-thread throughput drops 2-3x from N to 4N allocating threads on
+    * this box (TLAB zeroing bandwidth + GC write-barrier/refinement
+    * machinery + fresh-page traffic, none of which the allocation-free
+    * probes exercise). A real N→4N-EXECUTOR scale-up multiplies JVMs and
+    * their allocation machinery linearly and never crosses this knee.
+    * Returns aggregate M allocations/s.
+    */
+  private def allocProbe(nThreads: Int): Double = {
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val total = new java.util.concurrent.atomic.AtomicLong(0L)
+    val threads = (0 until nThreads).map { t =>
+      new Thread(() => {
+        val window = new Array[AnyRef](512)
+        var w = 0
+        var rng = 0x9e3779b97f4a7c15L * (t + 1)
+        var n = 0L
+        while (!stop.get()) {
+          var i = 0
+          while (i < 10000) {
+            rng = rng * 6364136223846793005L + 1442695040888963407L
+            val len = 32 + (rng >>> 58).toInt * 4 // 32..284 longs ≈ 0.3-2.3 KB
+            val a = new Array[Long](len)
+            a(0) = rng; a(len / 2) = i.toLong; a(len - 1) = n
+            if ((i & 15) == 0) { window(w & 511) = a; w += 1 } // ~6% live a while
+            else hwSink ^= a(len - 1)
+            i += 1
+          }
+          n += 10000
+        }
+        hwSink ^= window.length.toLong
+        total.addAndGet(n)
+        ()
+      })
+    }
+    val t0 = System.nanoTime()
+    threads.foreach(_.start())
+    Thread.sleep(2500)
+    stop.set(true)
+    threads.foreach(_.join())
+    total.get() / ((System.nanoTime() - t0) / 1e9) / 1e6
+  }
+
   /** Sustained-load steal probe (no Spark): spin `nThreads` pure-ALU
     * threads for ~12 s and report the host-STOLEN CORES over the window
     * (steal jiffies / HZ / seconds). Round-4 finding: this box is
@@ -587,8 +647,20 @@ object Bench {
     val cacheInflationCap = math.max(1.0,
       (cacheChase(nCores) / nCores) / (cacheChase(n4Cores) / n4Cores))
     put("l3_capacity_inflation_cap" -> fmt(cacheInflationCap))
+    // Allocation-machinery scaling (round-5 attribution, scaladoc at
+    // allocProbe): the one Spark-free probe that reproduces a multi-x
+    // per-thread drop going N→4N threads on this box, matching the
+    // engine's measured ON-CPU task-time inflation profile (JFR: the
+    // allocation-site sample share doubles at 16 threads).
+    val alloc = Seq(nCores, n4Cores).map(n => n -> allocProbe(n)).toMap
+    put(s"hw_alloc_mops_$nCores" -> fmt(alloc(nCores)),
+      s"hw_alloc_mops_$n4Cores" -> fmt(alloc(n4Cores)))
+    val allocInflationCap =
+      math.max(1.0, (alloc(nCores) / nCores) / (alloc(n4Cores) / n4Cores))
+    put("alloc_inflation_cap" -> fmt(allocInflationCap))
     val hwInflationCap =
-      math.max(membwInflationCap, math.max(randwInflationCap, cacheInflationCap))
+      math.max(membwInflationCap, math.max(randwInflationCap,
+        math.max(cacheInflationCap, allocInflationCap)))
     put("hw_inflation_cap" -> fmt(hwInflationCap))
     // Host CPU-cap probe (~24 s): stolen cores under sustained N- and
     // 4N-thread pure-ALU load → the box's raw-scaling ceiling (scaladoc at
@@ -717,6 +789,8 @@ object Bench {
       s"${benchFamilies * 2},${benchFamilies * 4}")
       .split(",").map(_.trim.toLong).filter(_ > benchFamilies).toSeq
     val sweepOn = sys.env.getOrElse("SPARK_GRAFT_BENCH_SWEEP", "1") != "0"
+    var largestDir = corpusDir
+    var largestImages = nImages
     if (sweepOn) sweepLadder.zipWithIndex.foreach { case (sweepFamilies, rung) =>
       val ratio = sweepFamilies.toDouble / benchFamilies
       val estimate = (bestN1.wall + best4N1.wall) * ratio * 1.2 + genSec * ratio
@@ -727,6 +801,8 @@ object Bench {
         SyntheticImages.materialize(s2, sweepDir, sweepFamilies)
         val nSweep = s2.read.parquet(s"$sweepDir/images").count()
         s2.stop()
+        largestDir = sweepDir
+        largestImages = nSweep
         // no extra warm-up (the JVM is hot from the standard legs); 2 reps
         // min-per-level when budget allows, degraded legs re-drawn first
         def reportSweep(swN: Run, sw4N: Run): Unit = {
@@ -745,6 +821,53 @@ object Bench {
         }
         legPair(key, nCores, n4Cores, sweepDir, nSweep, reps = 2,
           warm = false, budgetLeft _, reportSweep)
+      }
+    }
+
+    // ---- 3.5 core-GRANTED pair: local[2] vs local[8] on the largest
+    // materialized corpus. Round-5 attribution (BENCH.md §hardware): at
+    // ≤8 concurrently-busy vCPUs this host grants full cores (engine task
+    // time inflates only ~1.2x at 8 threads vs 1.7-2.3x at 16; the
+    // spark.task.cpus discriminator pins the inflation to CONCURRENT task
+    // count, not thread count, and allocProbe shows the same knee
+    // Spark-free). 2v8 therefore measures the ENGINE's N→4N scaling in the
+    // regime where the box can actually grant 4x the cores — the closest
+    // single-box analogue of adding executors — while the frozen 4v16
+    // primary keeps measuring the contended regime, both disclosed. ----
+    val grantedOn = sys.env.getOrElse("SPARK_GRAFT_BENCH_GRANTED", "1") != "0"
+    val gN = sys.env.getOrElse("SPARK_GRAFT_BENCH_GRANTED_N", "2").toInt
+    val g4N = gN * 4
+    if (grantedOn) {
+      // prefer the largest materialized corpus (F amortizes into W there);
+      // fall back to the primary corpus when the budget can't carry the
+      // big one — SOME granted-pair evidence beats none
+      def grantedEstimate(images: Long): Double = {
+        val scaleUp = images.toDouble / nImages
+        (bestN1.wall * (nCores.toDouble / gN) + best4N1.wall *
+          (n4Cores.toDouble / g4N)) * scaleUp * 1.3
+      }
+      if (budgetLeft() <= grantedEstimate(largestImages) &&
+          budgetLeft() > grantedEstimate(nImages)) {
+        largestDir = corpusDir
+        largestImages = nImages
+      }
+      val estimate = grantedEstimate(largestImages)
+      if (budgetLeft() > estimate) {
+        def reportGranted(a: Run, b: Run): Unit = {
+          val gEff = ((largestImages / b.wall) / (largestImages / a.wall)) / 4.0
+          put("granted" -> (
+            s"""{"cores_n":$gN,"cores_4n":$g4N,"images":$largestImages,""" +
+            s""""pipeline_sec_n":${fmt(a.wall)},"pipeline_sec_4n":${fmt(b.wall)},""" +
+            s""""images_per_sec_n":${fmt(largestImages / a.wall)},""" +
+            s""""images_per_sec_4n":${fmt(largestImages / b.wall)},""" +
+            s""""task_core_sec_n":${fmt(a.taskSec)},"task_core_sec_4n":${fmt(b.taskSec)},""" +
+            s""""gc_sec_n":${fmt(a.gcSec)},"gc_sec_4n":${fmt(b.gcSec)},""" +
+            s""""placement_n":${jstr(placement(a, largestImages, gN))},""" +
+            s""""placement_4n":${jstr(placement(b, largestImages, g4N))},""" +
+            s""""scaling_efficiency":${fmt(gEff)}}"""))
+        }
+        legPair("granted", gN, g4N, largestDir, largestImages, reps = 1,
+          warm = false, budgetLeft _, reportGranted)
       }
     }
 
@@ -792,7 +915,8 @@ object Bench {
     // sweep rungs compacted to their decision-relevant core
     def compactSweep(v: String): String =
       try {
-        val keep = Seq("families", "images", "images_per_sec_n", "images_per_sec_4n",
+        val keep = Seq("families", "cores_n", "cores_4n", "images",
+          "images_per_sec_n", "images_per_sec_4n",
           "scaling_efficiency", "scaling_efficiency_work_corrected",
           "placement_n", "placement_4n")
         val inner = v.stripPrefix("{").stripSuffix("}")
@@ -808,8 +932,10 @@ object Bench {
         "placement_n", "placement_4n",
         "scaling_efficiency", "scaling_efficiency_work_corrected",
         "task_core_sec_n", "task_core_sec_4n").map(_ -> id) ++
-      // every sweep rung, in measurement order ("sweep", "sweep_<families>")
+      // every sweep rung, in measurement order ("sweep", "sweep_<families>"),
+      // then the core-granted 2v8 pair
       fields.keys.filter(_.startsWith("sweep")).toSeq.map(_ -> (compactSweep _)) ++
+      Seq("granted" -> (compactSweep _)) ++
       Seq("box_efficiency_ceiling", "hw_inflation_cap", "leg_shuffle_partitions",
         "shared_audited_pipeline_sec", "shared_tiered_clusters_sec",
         "images_per_sec_local8", "images_per_sec_local32").map(_ -> id)

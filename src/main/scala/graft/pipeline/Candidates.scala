@@ -309,10 +309,17 @@ object Candidates {
       .select(col("l_image_id").as("a"), col("r_image_id").as("b"))
       .dropDuplicates("a", "b") // same pair may collide in several bands
     val grams = reps.select(col("image_id"), col("grams"))
+    // |∩| via the codegen'd sorted-merge expression (grams are stored
+    // sorted-distinct by both fingerprint paths): equal to
+    // size(array_intersect(..)) by definition, but zero-allocation — the
+    // built-in allocates an OpenHashSet PER ROW, which JFR measured at ~8%
+    // of pipeline samples and which feeds the multi-thread allocation
+    // contention (BENCH.md §hardware).
     val verified = cand
       .join(grams.select(col("image_id").as("a"), col("grams").as("a_grams")), "a")
       .join(grams.select(col("image_id").as("b"), col("grams").as("b_grams")), "b")
-      .withColumn("inter", size(array_intersect(col("a_grams"), col("b_grams"))))
+      .withColumn("inter", graft.functions.GraftExpressions.sortedIntersectCount(
+        fps.sparkSession, col("a_grams"), col("b_grams")))
       .withColumn("uni", size(col("a_grams")) + size(col("b_grams")) - col("inter"))
       .filter(col("uni") > 0 && col("inter") >= col("uni") * cfg.jaccardTau)
       .select("a", "b")

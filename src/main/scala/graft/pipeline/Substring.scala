@@ -33,17 +33,22 @@ object Substring {
     */
   def substringPairs(rows: DataFrame, cfg: GraftConfig): DataFrame = {
     val k = cfg.shingleK
-    val toks = split(col("caption_norm"), " ")
-    // anchors: first min(k, |toks|) words of each sufficiently long caption —
-    // ONE row per caption, so carrying the full text/span costs nothing extra
+    val spark = rows.sparkSession
+    // anchors: 64-bit key of the first min(k, |words|)-word gram, computed
+    // by the codegen'd LeadingGramKey expression in one byte scan — no
+    // split(), no token array, no gram string (round-5 JFR: the split-based
+    // path spent ~6% of pipeline samples in UTF8String.split/String.split).
+    // Width is folded into the key's SEED, collapsing the old
+    // (width, gram-string) composite join key into one bigint.
     val anchors = rows
       .filter(col("span") > cfg.minSpan)
       .select(col("image_id").as("a"), col("caption_norm").as("a_text"),
         col("span").as("a_span"),
-        least(lit(k), size(toks)).as("width"),
-        concat_ws(" ", slice(toks, lit(1), least(lit(k), size(toks)))).as("gram"))
-    // haystack grams: every word w-gram of every caption, for w = 1..k.
-    // The full text+span ride on every exploded gram row ON PURPOSE: the
+        graft.functions.GraftExpressions
+          .leadingGramKey(spark, col("caption_norm"), k).as("gram_key"))
+    // haystack: every word w-gram KEY for w = 1..min(k, |words|), exploded
+    // from one sorted-distinct long array per caption (WordGramKeyArray).
+    // The full text+span ride on every exploded key row ON PURPOSE: the
     // containment verify then runs INLINE on the join output (same stage,
     // no candidate materialization). The tempting alternative — key-only
     // gram rows + joining text back onto candidates — was measured 2x
@@ -52,22 +57,20 @@ object Substring {
     // leading phrases), and re-shuffling that fat candidate list costs far
     // more than the text amplification on the gram side, which compresses
     // well (repeated phrases) in the shuffle codec.
-    val widthGrams = (1 to k).map { w =>
-      struct(lit(w).as("width"),
-        array_distinct(transform(
-          sequence(lit(1), greatest(lit(1), size(toks) - (w - 1))),
-          p => concat_ws(" ", slice(toks, p, lit(w))))).as("grams"))
-    }
+    //
+    // Exactness under hash keying: a key collision only ADDS a candidate,
+    // and the verify below checks full word-aligned containment — a
+    // verify-passing pair has a's leading gram as a width-aligned gram of
+    // b, i.e. is exactly a pair the string-keyed join would also emit — so
+    // the verified output is bit-identical to (width, gram-string) keying.
+    // Each (a, b) still joins at most once: `a` carries exactly one key and
+    // b's key array is value-distinct.
     val grams = rows
       .select(col("image_id").as("b"), col("caption_norm").as("b_text"),
         col("span").as("b_span"),
-        explode(array(widthGrams: _*)).as("wg"))
-      .select(col("b"), col("b_text"), col("b_span"),
-        col("wg.width").as("width"), explode(col("wg.grams")).as("gram"))
-    // each (a, b) joins at most once — `a` has exactly one (width, gram)
-    // anchor and b's per-width gram set is array_distinct'ed — so the
-    // output is distinct by construction: no pair-level dedup pass
-    anchors.join(grams, Seq("width", "gram"))
+        explode(graft.functions.GraftExpressions
+          .wordGramKeys(spark, col("caption_norm"), k)).as("gram_key"))
+    anchors.join(grams, Seq("gram_key"))
       .filter(col("a") =!= col("b") && col("a_span") < col("b_span") &&
         // word-aligned verbatim containment of the full shorter caption:
         // prefix+space, space-wrapped infix, or space+suffix
