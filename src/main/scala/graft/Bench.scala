@@ -207,7 +207,13 @@ object Bench {
     */
   private def placement(r: Run, images: Long, cores: Int): String = {
     val allowance = if (cores > 8) 1.7 else 1.0
-    if (r.taskSec / images * 1000.0 <= 2.0 * allowance * baselineMs(images)) "clean"
+    // A kept leg that OVERLAPPED a steal wave is degraded even when its
+    // per-image core-s passes: steal inflates WALL directly, and a steal-y
+    // N-leg FLATTERS the efficiency ratio (slower denominator) — round-5
+    // fix after a granted N-leg with 10% steal shipped as "clean". 8% of
+    // capacity ≈ 2.5 cores on this box, well past measurement noise.
+    if (r.stealPct > 8.0) "degraded"
+    else if (r.taskSec / images * 1000.0 <= 2.0 * allowance * baselineMs(images)) "clean"
     else "degraded"
   }
 
@@ -658,9 +664,15 @@ object Bench {
     val allocInflationCap =
       math.max(1.0, (alloc(nCores) / nCores) / (alloc(n4Cores) / n4Cores))
     put("alloc_inflation_cap" -> fmt(allocInflationCap))
+    // The alloc cap is published as ATTRIBUTION EVIDENCE ONLY — it is NOT
+    // folded into hw_inflation_cap: its 4N-thread reading collapses by an
+    // order of magnitude under co-tenant waves (measured 30x during a busy
+    // period vs 2-3x calm), and an uncapped credit would let work_corrected
+    // float to the pure task-ratio number the round-3 ADVICE explicitly
+    // forbade. The credit cap stays the conservative max of the stable
+    // memory-pattern probes.
     val hwInflationCap =
-      math.max(membwInflationCap, math.max(randwInflationCap,
-        math.max(cacheInflationCap, allocInflationCap)))
+      math.max(membwInflationCap, math.max(randwInflationCap, cacheInflationCap))
     put("hw_inflation_cap" -> fmt(hwInflationCap))
     // Host CPU-cap probe (~24 s): stolen cores under sustained N- and
     // 4N-thread pure-ALU load → the box's raw-scaling ceiling (scaladoc at
@@ -748,7 +760,8 @@ object Bench {
     }
     put("work_corrected_note" -> jstr(
       "scaling_efficiency_work_corrected = raw eff x min(task(4N)/task(N) excl GC, hw_inflation_cap); " +
-      "hw_inflation_cap = max(membw, random-access pointer-chase) per-thread N->4N slowdown; " +
+      "hw_inflation_cap = max(membw, pointer-chase, L3-capacity chase) per-thread N->4N slowdown " +
+      "(alloc probe published for attribution, NOT credited); " +
       "self-normalized engine-vs-box estimate — raw scaling_efficiency is the criterion-facing number"))
 
     def reportPrimary(images: Long)(bn: Run, b4: Run): Unit = {
@@ -838,19 +851,29 @@ object Bench {
     val gN = sys.env.getOrElse("SPARK_GRAFT_BENCH_GRANTED_N", "2").toInt
     val g4N = gN * 4
     if (grantedOn) {
-      // prefer the largest materialized corpus (F amortizes into W there);
-      // fall back to the primary corpus when the budget can't carry the
-      // big one — SOME granted-pair evidence beats none
+      // prefer the largest corpus ON DISK (corpora are content-addressed
+      // and persist across runs, so a prior session's 1M rung is usable
+      // even when this run's budget shed the sweep); fall back down the
+      // ladder until the estimate fits — SOME granted evidence beats none
       def grantedEstimate(images: Long): Double = {
         val scaleUp = images.toDouble / nImages
         (bestN1.wall * (nCores.toDouble / gN) + best4N1.wall *
           (n4Cores.toDouble / g4N)) * scaleUp * 1.3
       }
-      if (budgetLeft() <= grantedEstimate(largestImages) &&
-          budgetLeft() > grantedEstimate(nImages)) {
-        largestDir = corpusDir
-        largestImages = nImages
-      }
+      val onDisk = (sweepLadder.map(f =>
+          (f, s"/root/repo/target/bench-corpus-$f")) :+ ((benchFamilies, corpusDir)))
+        .filter { case (_, dir) => new java.io.File(s"$dir/images").isDirectory }
+        .sortBy(-_._1)
+      onDisk.collectFirst {
+        // images/family is deterministic (~2.139) — estimate from families,
+        // count exactly once a candidate fits
+        case (fams, dir) if budgetLeft() >
+            grantedEstimate((fams.toDouble / benchFamilies * nImages).toLong) =>
+          val (sg, _) = session(cpus)
+          val n = sg.read.parquet(s"$dir/images").count()
+          sg.stop()
+          (dir, n)
+      }.foreach { case (dir, n) => largestDir = dir; largestImages = n }
       val estimate = grantedEstimate(largestImages)
       if (budgetLeft() > estimate) {
         def reportGranted(a: Run, b: Run): Unit = {
