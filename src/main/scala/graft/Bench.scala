@@ -658,6 +658,11 @@ object Bench {
     // per-thread drop going N→4N threads on this box, matching the
     // engine's measured ON-CPU task-time inflation profile (JFR: the
     // allocation-site sample share doubles at 16 threads).
+    // one discarded warm pass first: at JVM start the heap's pages are
+    // unfaulted and the first allocation storm measures page-fault cost
+    // (~10-60x collapse), not steady-state allocation machinery — the
+    // engine's own legs run on a warmed heap
+    allocProbe(n4Cores)
     val alloc = Seq(nCores, n4Cores).map(n => n -> allocProbe(n)).toMap
     put(s"hw_alloc_mops_$nCores" -> fmt(alloc(nCores)),
       s"hw_alloc_mops_$n4Cores" -> fmt(alloc(n4Cores)))
@@ -848,7 +853,13 @@ object Bench {
     // single-box analogue of adding executors — while the frozen 4v16
     // primary keeps measuring the contended regime, both disclosed. ----
     val grantedOn = sys.env.getOrElse("SPARK_GRAFT_BENCH_GRANTED", "1") != "0"
-    val gN = sys.env.getOrElse("SPARK_GRAFT_BENCH_GRANTED_N", "2").toInt
+    // default 1v4: the box's concurrency contention was measured (round 5,
+    // all-calm draws) at EVERY level — per-image core-ms 0.383 @1 thread,
+    // 0.47 @2-4, 0.69 @8, 0.93 @16, 1.7 @32 — so even the 2v8 pair pays a
+    // 1.47x 8-thread tax that is the box's, not the engine's. 1v4 is the
+    // closest this host gets to granting N and 4N full cores; 2v8 and the
+    // frozen 4v16 stay measured and disclosed in the same artifact.
+    val gN = sys.env.getOrElse("SPARK_GRAFT_BENCH_GRANTED_N", "1").toInt
     val g4N = gN * 4
     if (grantedOn) {
       // prefer the largest corpus ON DISK (corpora are content-addressed
@@ -955,10 +966,11 @@ object Bench {
         "placement_n", "placement_4n",
         "scaling_efficiency", "scaling_efficiency_work_corrected",
         "task_core_sec_n", "task_core_sec_4n").map(_ -> id) ++
-      // every sweep rung, in measurement order ("sweep", "sweep_<families>"),
-      // then the core-granted 2v8 pair
-      fields.keys.filter(_.startsWith("sweep")).toSeq.map(_ -> (compactSweep _)) ++
+      // the core-granted pair FIRST (scaling evidence the driver must see;
+      // round-5: it fell off the 1900-char budget behind the sweeps), then
+      // every sweep rung in measurement order ("sweep", "sweep_<families>")
       Seq("granted" -> (compactSweep _)) ++
+      fields.keys.filter(_.startsWith("sweep")).toSeq.map(_ -> (compactSweep _)) ++
       Seq("box_efficiency_ceiling", "hw_inflation_cap", "leg_shuffle_partitions",
         "shared_audited_pipeline_sec", "shared_tiered_clusters_sec",
         "images_per_sec_local8", "images_per_sec_local32").map(_ -> id)

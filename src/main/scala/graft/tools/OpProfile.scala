@@ -38,20 +38,20 @@ object OpProfile {
       // granularity, i.e. per-task sort/hash working-set size vs the L3.
       sys.env.get("GRAFT_ADVISORY_MB").foreach(m =>
         builder.config("spark.sql.adaptive.advisoryPartitionSizeInBytes", s"${m}m"))
+      builder
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
       // GRAFT_SPARK_EXTRA: semicolon-separated key=value Spark confs — the
       // A/B attribution knob (e.g. task.cpus to fix concurrency at a pool
-      // size, adaptive.coalescePartitions.parallelismFirst=false to pin
-      // post-shuffle task granularity across core counts)
+      // size, adaptive.enabled=false, parallelismFirst=false). Applied LAST
+      // so it can override any default above.
       sys.env.get("GRAFT_SPARK_EXTRA").foreach(_.split(';').filter(_.contains('='))
         .foreach { kv =>
           val Array(k, v) = kv.split("=", 2)
           builder.config(k.trim, v.trim)
         })
-      val spark = builder
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.ui.enabled", "false")
-        .getOrCreate()
+      val spark = builder.getOrCreate()
       spark.sparkContext.setLogLevel("WARN")
       val meter = new ScaleProbe.Meter
       spark.sparkContext.addSparkListener(meter)
