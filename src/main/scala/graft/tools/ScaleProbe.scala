@@ -94,6 +94,10 @@ object ScaleProbe {
             f"taskTime=$w%.0f core-s gc=${meter.gcMs.get() / 1000.0}%.0fs " +
             f"util=${w / (wall * cores) * 100}%.0f%% serialF=${wall - w / cores}%.1fs " +
             f"jobs=${meter.jobs.get()} stages=${meter.stages.get()} rows=$n")
+          // free this rep's localCheckpoint blocks — accumulated blocks
+          // GC-thrash later reps (same hazard Bench.run1 guards against:
+          // measured 37-48 s GC on rep 2-3 at 1M images without this)
+          spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
         }
       } finally spark.stop()
     }
