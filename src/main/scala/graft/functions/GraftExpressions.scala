@@ -3,11 +3,11 @@ package graft.functions
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, Literal, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, ExpressionInfo, Literal, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.functions.call_function
-import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expressions for the dedup hot paths (SURVEY.md §2.11):
@@ -28,9 +28,14 @@ object GraftExpressions {
     * by definition on sorted-distinct inputs.
     */
   case class SortedIntersectCount(left: Expression, right: Expression)
-      extends BinaryExpression {
+      extends BinaryExpression with ExpectsInputTypes {
     override def dataType: DataType = IntegerType
     override def prettyName: String = "graft_sorted_intersect_count"
+    // SQL-registered: without declared input types, array<int> would be
+    // misread via getLong (wrong counts, silently) — fail at analysis
+    // instead (round-5 ADVICE)
+    override def inputTypes =
+      Seq(ArrayType(LongType), ArrayType(LongType))
 
     override protected def nullSafeEval(a: Any, b: Any): Any = {
       val x = a.asInstanceOf[ArrayData]
@@ -76,9 +81,10 @@ object GraftExpressions {
     * substring pass explodes this instead of building per-gram strings.
     */
   case class WordGramKeyArray(child: Expression, k: Int)
-      extends UnaryExpression {
+      extends UnaryExpression with ExpectsInputTypes {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def prettyName: String = "graft_word_gram_keys"
+    override def inputTypes = Seq(StringType)
 
     override protected def nullSafeEval(t: Any): Any =
       new GenericArrayData(
@@ -98,9 +104,10 @@ object GraftExpressions {
     * ([[GramHash.leadingKey]]).
     */
   case class LeadingGramKey(child: Expression, k: Int)
-      extends UnaryExpression {
+      extends UnaryExpression with ExpectsInputTypes {
     override def dataType: DataType = LongType
     override def prettyName: String = "graft_leading_gram_key"
+    override def inputTypes = Seq(StringType)
 
     override protected def nullSafeEval(t: Any): Any =
       GramHash.leadingKey(t.asInstanceOf[UTF8String].getBytes, k)

@@ -23,6 +23,20 @@ import graft.core.Murmur3x64
   */
 object GramHash {
 
+  /** Exact boundary-array size for `bytes`: one slot per space + the final
+    * end + 1 slack. The previous `length/2 + 2` sizing assumed the
+    * Shingling.normalize contract (no consecutive spaces); these functions
+    * are SQL-registered, so arbitrary input (e.g. six spaces in a row) must
+    * degrade gracefully instead of overrunning the array (round-5 ADVICE).
+    * One extra byte scan, no allocation beyond the exact-size array.
+    */
+  private def boundarySlots(bytes: Array[Byte]): Int = {
+    var spaces = 0
+    var i = 0
+    while (i < bytes.length) { if (bytes(i) == ' '.toByte) spaces += 1; i += 1 }
+    spaces + 2
+  }
+
   /** Token boundary scan: fills `ends(i)` = byte offset one past token i.
     * Token i's start is `if (i == 0) 0 else ends(i-1) + 1`.
     * @return token count (0 for empty input)
@@ -50,7 +64,7 @@ object GramHash {
     * matches iff the value is present, so deduping never loses a match.
     */
   def gramKeys(bytes: Array[Byte], k: Int): Array[Long] = {
-    val ends = new Array[Int](bytes.length / 2 + 2)
+    val ends = new Array[Int](boundarySlots(bytes))
     val nTok = tokenEnds(bytes, ends)
     if (nTok == 0) return Array.emptyLongArray
     val kEff = math.min(k, nTok)
@@ -87,7 +101,7 @@ object GramHash {
     * width min(k, 1) — harmless, since anchors are span-gated upstream.
     */
   def leadingKey(bytes: Array[Byte], k: Int): Long = {
-    val ends = new Array[Int](bytes.length / 2 + 2)
+    val ends = new Array[Int](boundarySlots(bytes))
     val nTok = tokenEnds(bytes, ends)
     if (nTok == 0) return Murmur3x64.hash128(bytes, 0, 0, math.min(k, 1).toLong)._1
     val w = math.min(k, nTok)

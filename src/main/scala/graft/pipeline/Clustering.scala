@@ -46,17 +46,26 @@ object Clustering {
 
   /** Materialize + report which persisted-RDD ids the call created, so the
     * CC loop can free a batch's blocks once the next batch supersedes it.
-    * (Reliable `checkpoint` writes files instead of blocks — the id set is
-    * then empty and the unpersist is a no-op; file cleanup is the context
-    * cleaner's job.) Without this, every batch's blocks live until the
-    * session ends: repeated CC runs in one session accumulate them and
-    * GC-thrash the JVM (measured 5x wall blow-up on back-to-back runs).
+    * (Reliable `checkpoint` writes files instead of blocks — the looked-up
+    * id is then not in getPersistentRDDs and the unpersist is a no-op; file
+    * cleanup is the context cleaner's job.) Without this, every batch's
+    * blocks live until the session ends: repeated CC runs in one session
+    * accumulate them and GC-thrash the JVM (measured 5x wall blow-up on
+    * back-to-back runs).
+    *
+    * Ids are read from the materialized frame's own `LogicalRDD` plan leaf
+    * (the exact RDD `Dataset.localCheckpoint` persisted) — not from a
+    * before/after snapshot of `getPersistentRDDs`, which attributes ANY
+    * concurrently-persisted RDD to this call and would free another
+    * thread's live (non-recomputable) checkpoint blocks; round 6 runs
+    * independent CC tiers concurrently (guide §2.6).
     */
   private def materializeTracked(df: DataFrame): (DataFrame, Set[Int]) = {
-    val sc = df.sparkSession.sparkContext
-    val before = sc.getPersistentRDDs.keySet.toSet
     val out = materialize(df)
-    (out, sc.getPersistentRDDs.keySet.toSet -- before)
+    val ids = out.queryExecution.logical.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.id
+    }.toSet
+    (out, ids)
   }
 
   private def unpersistIds(df: DataFrame, ids: Set[Int]): Unit = {
@@ -70,15 +79,52 @@ object Clustering {
     */
   def connectedComponents(vertices: DataFrame, edges: DataFrame,
                           maxIter: Int = 30): CCResult = {
+    // Dense-long label space (round-6; round-5 JFR named UTF8String
+    // materialization in these joins as the top remaining allocation site,
+    // and allocation churn is the box's measured multi-thread contention
+    // driver — BENCH.md §hardware). Edge-incident ids are dictionary-encoded
+    // ONCE into compact longs; every per-round join/aggregation then moves
+    // (bigint, bigint) rows instead of string pairs.
+    //
+    // The rid is the id's RANK in string order (sort + zipWithIndex,
+    // materialized through the checkpoint seam so the assignment is stable
+    // across subtree re-executions — `monotonically_increasing_id` alone is
+    // neither stable nor usable here). ORDER-PRESERVING encoding is
+    // load-bearing twice over: (1) min-rid ≡ min-string-id, so decoded
+    // labels are bit-identical to the string implementation
+    // (CCConvergenceSpec pins cluster_id = min member id); (2) the loop's
+    // state trajectory is comparison-only, so rank encoding makes every
+    // batch isomorphic to the string run — same batch count, same probe
+    // behavior. (A scrambled assignment was measured to break the
+    // pointer-jump acceleration on long chains: a 300-vertex path needed
+    // O(diameter) batches instead of O(log), and each batch's checkpoint
+    // re-inherits the plan's estimated sizeInBytes, whose ~200-leaf product
+    // then COMPOUNDS per batch into million-bit BigInts that stall the
+    // optimizer's stats visitor — driver-side, before any task runs.)
+    val sparkEdges = edges.sparkSession
+    val dict = {
+      import sparkEdges.implicits._
+      val sortedIds = edges.select(col("a").as("id"))
+        .unionByName(edges.select(col("b").as("id")))
+        .distinct()
+        .orderBy("id")
+        .as[String].rdd.zipWithIndex()
+      materializeTracked(sortedIds.toDF("id", "rid"))._1
+    }
+
     // Lineage discipline (plan-explosion gotcha): the pointer-jump step
     // SELF-JOINS each round's frame, so an un-truncated logical plan doubles
     // per round (2^rounds); and `sym` is re-referenced every round. Both are
     // therefore materialized eagerly — the plan each round is then two scans,
     // constant-size, regardless of round count. (Data-wise these frames are
     // edge-incident rows only — tiny next to the corpus.)
+    val longEdges = edges
+      .join(dict.select(col("id").as("a"), col("rid").as("ra")), Seq("a"))
+      .join(dict.select(col("id").as("b"), col("rid").as("rb")), Seq("b"))
+      .select(col("ra"), col("rb"))
     val (sym, symIds) = materializeTracked(
-      edges.select(col("a").as("src"), col("b").as("dst"))
-        .unionByName(edges.select(col("b").as("src"), col("a").as("dst")))
+      longEdges.select(col("ra").as("src"), col("rb").as("dst"))
+        .unionByName(longEdges.select(col("rb").as("src"), col("ra").as("dst")))
         .repartition(col("src")))
 
     // Only vertices incident to an edge participate in propagation; the
@@ -142,8 +188,8 @@ object Clustering {
       labels = spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("vid", org.apache.spark.sql.types.StringType),
-          org.apache.spark.sql.types.StructField("label", org.apache.spark.sql.types.StringType))))
+          org.apache.spark.sql.types.StructField("vid", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("label", org.apache.spark.sql.types.LongType))))
     }
     // blocks of the superseded batch — freed as soon as the next batch is
     // materialized (the next batch's plan scans its OWN checkpoint, so the
@@ -151,7 +197,12 @@ object Clustering {
     // batch's blocks back the returned labels and must stay.
     var prevIds = Set.empty[Int]
     while (!converged && iter < maxIter) {
-      val (next, nextIds) = materializeTracked(propagateProbe(round(round(labels))))
+      val batchPlan = propagateProbe(round(round(labels)))
+      if (sys.props.contains("graft.ccdebug"))
+        println(s"[ccdebug] iter=$iter analyzed nodes=" +
+          batchPlan.queryExecution.analyzed.collect { case n => n }.size +
+          " labels nodes=" + labels.queryExecution.analyzed.collect { case n => n }.size)
+      val (next, nextIds) = materializeTracked(batchPlan)
       val probeChanged = next.filter(col("label") =!= col("prev")).count()
       unpersistIds(next, prevIds)
       prevIds = nextIds
@@ -160,18 +211,27 @@ object Clustering {
       iter += 3 // two full rounds + the probe propagate per batch
     }
     // sym is only referenced inside the loop rounds; the returned plan
-    // bottoms out at the final batch's checkpoint + the caller's vertices
+    // bottoms out at the final batch's checkpoint + the caller's vertices.
+    // (dict blocks stay: the decode joins below reference them lazily —
+    // they are freed by the caller's session-level tracking, exactly like
+    // the final batch's label blocks.)
     unpersistIds(sym, symIds)
     if (!converged)
       System.err.println(s"[graft] WARNING: connectedComponents hit maxIter=$maxIter " +
         "with labels still changing — components with diameter > 2^maxIter may be " +
         "returned SPLIT (recall, not precision, is at risk). Raise maxIter.")
-    // Re-attach: every input vertex gets a label; non-edge vertices label
-    // themselves (singleton clusters).
+    // Decode + re-attach: rids back to ids with two dict joins — the label
+    // rid IS the min member's rank, so its decoded id IS the min member id
+    // (order-preserving encoding) — and every non-edge input vertex labels
+    // itself (singleton clusters).
+    val mapped = labels
+      .join(dict.select(col("rid").as("vid"), col("id").as("image_id")), Seq("vid"))
+      .join(dict.select(col("rid").as("label"), col("id").as("cluster_id")), Seq("label"))
+      .select("image_id", "cluster_id")
     val out = vertices
       .select(col("image_id"))
-      .join(labels.select(col("vid").as("image_id"), col("label")), Seq("image_id"), "left")
-      .select(col("image_id"), coalesce(col("label"), col("image_id")).as("cluster_id"))
+      .join(mapped, Seq("image_id"), "left")
+      .select(col("image_id"), coalesce(col("cluster_id"), col("image_id")).as("cluster_id"))
     CCResult(out, iter, converged)
   }
 
@@ -218,11 +278,35 @@ object Clustering {
 
   /** Per-tier CC runs with full [[CCResult]]s (iterations + converged flag)
     * for callers that need the convergence state per tier.
+    *
+    * Tiers run CONCURRENTLY from driver threads (guide §2.6): each tier's
+    * CC is an independent chain of small jobs whose cost is dominated by
+    * driver/AQE barrier latency, not task work (round-6 probe: ~36 jobs and
+    * ~3-10 task-core-s per tier at sf0.1) — overlapping them hides one
+    * tier's barriers behind the other's, and the later tier's tasks
+    * back-fill the earlier tier's idle cores. Safe because
+    * [[materializeTracked]] attributes checkpoint blocks from the frame's
+    * own plan (thread-confined), and Spark's scheduler handles concurrent
+    * actions from one driver natively.
     */
   def tieredClustersResults(vertices: DataFrame,
                             edgesByTier: Seq[(String, DataFrame)])
-      : Seq[(String, CCResult)] =
-    edgesByTier.map { case (tier, edges) =>
-      tier -> connectedComponents(vertices, edges)
+      : Seq[(String, CCResult)] = {
+    if (edgesByTier.size <= 1)
+      edgesByTier.map { case (tier, edges) =>
+        tier -> connectedComponents(vertices, edges)
+      }
+    else {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(edgesByTier.size)
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+      try {
+        val futures = edgesByTier.map { case (tier, edges) =>
+          Future { tier -> connectedComponents(vertices, edges) }
+        }
+        futures.map(Await.result(_, Duration.Inf))
+      } finally pool.shutdown()
     }
+  }
 }

@@ -28,10 +28,17 @@ object Queries {
     * (payload-fusion disabled via weight PHASH=0 — text has no pixels).
     */
   private def docsAsImages(docs: DataFrame): DataFrame =
-    docs.select(
+    // scanFloor: the sub-MB documents parquet is one split — without it the
+    // fingerprint mapPartitions (and its 2-3 plan-branch recomputes in the
+    // candidate generators) runs serially on one core (guide §6). Capped at
+    // 8: the consumers are MANY-stage candidate/CC paths whose per-stage
+    // task-launch overhead at 32 partitions exceeds the extra parallelism
+    // on a small corpus (TieredProbe: taskSec 2.7 -> 20 core-s at 32, wall
+    // worse; 8 keeps the fingerprint stage parallel at ~1/4 the overhead).
+    TextOps.scanFloor(docs.select(
       col("doc_id").cast("string").as("image_id"),
       col("text").as("caption"),
-      lit(0L).as("phash"))
+      lit(0L).as("phash")), cap = 8)
 
   private def docsAsImages(spark: SparkSession, dir: String): DataFrame =
     docsAsImages(documents(spark, dir))
@@ -83,6 +90,12 @@ object Queries {
         v._2.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
     }
     tieredCache.clear()
+    jpairsCache.forEach { (k, v) =>
+      val sc = k._1.sparkContext
+      if (!sc.isStopped)
+        v._2.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+    }
+    jpairsCache.clear()
     auditedCache.forEach { (k, v) =>
       val sc = k._1.sparkContext
       if (!sc.isStopped)
@@ -107,6 +120,7 @@ object Queries {
   private def evictStopped(): Unit = {
     def stale(k: (SparkSession, String)): Boolean = k._1.sparkContext.isStopped
     tieredCache.keySet.forEach(k => if (stale(k)) tieredCache.remove(k))
+    jpairsCache.keySet.forEach(k => if (stale(k)) jpairsCache.remove(k))
     auditedCache.keySet.forEach { k =>
       if (stale(k)) {
         Option(auditedCache.remove(k)).foreach { v =>
@@ -161,6 +175,24 @@ object Queries {
       }
     })
     (v._1, v._2)
+  }
+
+  /** Exact word-3-gram Jaccard pair set, computed ONCE per (session, dir)
+    * and kept checkpointed: `dedup_ngram_jaccard` (the pair listing) and
+    * `dedup_pair_degree` (its degree aggregation) read the same frame —
+    * previously each ran the full gram self-join independently, together
+    * the two heaviest entries of the round-5 suite (round-5 VERDICT #2).
+    */
+  private val jpairsCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (DataFrame, Seq[Int])]()
+
+  private def jpairsFrame(s: SparkSession, dir: String): DataFrame = {
+    if (jpairsCache.size > 8) evictStopped() // bound stale-session entries
+    jpairsCache.computeIfAbsent((s, dir), { _ =>
+      trackPersists(s) {
+        ngramJaccardPairs(documents(s, dir), n = 3, tau = 0.5).localCheckpoint(true)
+      }
+    })._1
   }
 
   // ---------------------------------------------------------------- queries
@@ -244,13 +276,13 @@ object Queries {
 
     // --- dedup: exact n-gram Jaccard (SQL-checkable verification path) ---
     "dedup_ngram_jaccard" -> ((s, dir) => {
-      ngramJaccardPairs(documents(s, dir), n = 3, tau = 0.5)
-        .orderBy("da", "db")
+      jpairsFrame(s, dir).orderBy("da", "db")
     }),
     "dedup_pair_degree" -> ((s, dir) => {
-      // Degree via ONE explode over the pair set — a self-union of the pair
-      // frame would plan (and run) the expensive gram self-join twice.
-      ngramJaccardPairs(documents(s, dir), n = 3, tau = 0.5)
+      // Degree via ONE explode over the SHARED checkpointed pair set —
+      // whichever of the two gram queries runs first pays the join cost
+      // once; the degree aggregation itself is a tiny groupBy.
+      jpairsFrame(s, dir)
         .select(explode(array(col("da"), col("db"))).as("doc_id"))
         .groupBy("doc_id").agg(count(lit(1)).as("n_dup_partners"))
         .orderBy("doc_id")
@@ -300,9 +332,9 @@ object Queries {
     "dedup_simhash_pairs_diffgroup" -> ((s, dir) => {
       // F6 compare mode: only cross-source pairs (reference -onlydiffF)
       val fps = Fingerprints.compute(
-        documents(s, dir).select(
+        TextOps.scanFloor(documents(s, dir).select(
           col("doc_id").cast("string").as("image_id"),
-          col("text").as("caption"), lit(0L).as("phash"), col("source")),
+          col("text").as("caption"), lit(0L).as("phash"), col("source")), cap = 8),
         docCfg, groupCol = Some("source"))
       Candidates.simhashPairs(fps, docCfg, docCfg.sigmaHigh, onlyDiffGroup = true)
         .select(col("a").cast("long").as("a"), col("b").cast("long").as("b"))
@@ -310,10 +342,10 @@ object Queries {
     }),
     "dedup_substring" -> ((s, dir) => {
       // J5 over raw document text (SQL-oracle parity: no normalization step)
-      val rows = documents(s, dir).select(
+      val rows = TextOps.scanFloor(documents(s, dir).select(
         col("doc_id").cast("string").as("image_id"),
         col("text").as("caption_norm"),
-        length(col("text")).as("span"))
+        length(col("text")).as("span")))
       graft.pipeline.Substring.substringPairs(rows, docCfg)
         .select(col("a").cast("long").as("a"), col("b").cast("long").as("b"))
         .orderBy("a", "b")
@@ -371,7 +403,8 @@ object Queries {
     "grouped_simhash" -> ((s, dir) => {
       // file-based fingerprint mode analogue (G6): one simhash per source
       Fingerprints.groupedSimhash(
-        documents(s, dir).select(col("source"), col("text").as("caption"), lit(0L).as("phash")),
+        TextOps.scanFloor(documents(s, dir)
+          .select(col("source"), col("text").as("caption"), lit(0L).as("phash"))),
         "source", docCfg)
         .withColumnRenamed("key", "source")
         .orderBy("source")

@@ -76,7 +76,10 @@ object SimilarityOps {
   private[queries] def withNorm(embeddings: DataFrame): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
-    embeddings.select(col("vec_id"), col("embedding"))
+    // scanFloor: the sf embeddings parquet is ONE scan split, and this frame
+    // feeds the stream side of the BroadcastNestedLoopJoin cosine passes —
+    // without it the whole O(n²) cosine loop runs in a single task
+    TextOps.scanFloor(embeddings.select(col("vec_id"), col("embedding")))
       .as[(Long, Array[Float])]
       .map { case (id, emb) => (id, emb, l2(emb)) }
       .toDF("vec_id", "embedding", "nrm")
@@ -123,7 +126,9 @@ object SimilarityOps {
              probeRadius: Int = 2, seed: Long = 42L): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
-    val base = embeddings.select(col("vec_id"), col("embedding"))
+    // scanFloor: parallelize the per-vector signature flatMaps (L tables ×
+    // n vectors of hyperplane dots) — one scan split otherwise
+    val base = TextOps.scanFloor(embeddings.select(col("vec_id"), col("embedding")))
       .as[(Long, Array[Float])]
 
     // data side: L bucket keys per vector — key-only rows into the join

@@ -118,6 +118,55 @@ object StreamingDedup {
     }
   }
 
+  /** On-disk state-key version of this operator. Bumped when the STATE KEY
+    * semantics change without a schema change the runtime could reject —
+    * round 4 moved (simhash, span) → 128-bit content identity with an
+    * identical (Long, Long, Int) -> Long state layout. Mixed-key resumes
+    * are refused by [[guardCheckpoint]].
+    */
+  val StateVersion: String = "content128-v2"
+  private val MarkerFile = "_graft_dedup_state_version"
+
+  /** Refuse to resume a dedup-stream checkpoint written under a different
+    * (or unmarked pre-upgrade) state-key version; stamp fresh checkpoints.
+    *
+    * Call with the query's `checkpointLocation` BEFORE starting it (round-5
+    * VERDICT #5: the scaladoc contract alone let a stale checkpoint
+    * silently mix simhash keys with content keys — old duplicates re-flag
+    * `first_seen = true`, i.e. silent correctness loss, so this is a hard
+    * error, not a warning). Uses the Hadoop filesystem of the path, so any
+    * scheme a checkpoint can live on works. Returns the location (fluent).
+    */
+  def guardCheckpoint(spark: org.apache.spark.sql.SparkSession,
+                      checkpointLocation: String): String = {
+    val path = new org.apache.hadoop.fs.Path(checkpointLocation)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(path, MarkerFile)
+    if (fs.exists(marker)) {
+      val in = fs.open(marker)
+      val found = try scala.io.Source.fromInputStream(in).mkString.trim finally in.close()
+      if (found != StateVersion)
+        throw new IllegalStateException(
+          s"dedup-stream checkpoint $checkpointLocation was written under state-key " +
+          s"version '$found' but this build uses '$StateVersion' — the on-disk state " +
+          "schema is identical across versions, so resuming would silently mix key " +
+          "spaces (old duplicates re-flagged first_seen=true). Start from a fresh " +
+          "checkpointLocation.")
+    } else if (fs.exists(new org.apache.hadoop.fs.Path(path, "offsets"))) {
+      throw new IllegalStateException(
+        s"dedup-stream checkpoint $checkpointLocation predates state-version " +
+        s"markers (no $MarkerFile) — it was written by a pre-'$StateVersion' build " +
+        "whose state keys are 64-bit simhashes with the same on-disk schema; " +
+        "resuming would silently mix key spaces. Start from a fresh " +
+        "checkpointLocation.")
+    } else {
+      fs.mkdirs(path)
+      val out = fs.create(marker, true)
+      try out.write((StateVersion + "\n").getBytes("UTF-8")) finally out.close()
+    }
+    checkpointLocation
+  }
+
   /** Attach cross-batch first-seen/duplicate flags to a (streaming or
     * batch) content-identity Dataset.
     *
@@ -126,9 +175,10 @@ object StreamingDedup {
     * on the 64-bit simhash with an identical on-disk state schema
     * (Long, Long, Int -> Long), so resuming a pre-round-4 checkpoint would
     * silently mix old simhash keys with content keys and re-flag old
-    * duplicates first_seen=true. Upgraded queries MUST start from a fresh
-    * `checkpointLocation` (there is no schema difference for the runtime to
-    * reject, hence this contract note).
+    * duplicates first_seen=true. Streaming queries should route their
+    * `checkpointLocation` through [[guardCheckpoint]], which stamps fresh
+    * checkpoints with [[StateVersion]] and refuses mismatched or
+    * pre-upgrade resumes.
     */
   def dedupAgainstState(rows: Dataset[ContentRow],
                         deterministicOrder: Boolean = true): Dataset[DedupEmit] = {

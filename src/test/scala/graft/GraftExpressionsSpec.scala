@@ -98,6 +98,35 @@ class GraftExpressionsSpec extends AnyFunSuite {
     })
   }
 
+  test("SQL-surface hardening: consecutive spaces degrade gracefully (r5 ADVICE)") {
+    // six consecutive spaces overran the old length/2+2 boundary array;
+    // arbitrary SQL input must not crash the task
+    GraftExpressions.ensureRegistered(spark)
+    val rows = spark.sql(
+      "SELECT graft_word_gram_keys('      ', 2) AS ks, " +
+      "graft_leading_gram_key('   a  b ', 3) AS lead").collect()
+    assert(rows.length === 1) // no ArrayIndexOutOfBoundsException
+    // direct core calls on degenerate byte inputs
+    Seq("", " ", "      ", "  a", "a  ", "a     b").foreach { s =>
+      val ks = GramHash.gramKeys(s.getBytes("UTF-8"), 3)
+      assert(ks.toSeq == ks.toSeq.sorted)
+      GramHash.leadingKey(s.getBytes("UTF-8"), 3)
+    }
+  }
+
+  test("SQL-surface hardening: wrong argument types fail at analysis (r5 ADVICE)") {
+    GraftExpressions.ensureRegistered(spark)
+    // array<int> would previously be misread via getLong (silent wrong counts)
+    val e1 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_sorted_intersect_count(array(1, 2), array(2, 3))").collect()
+    }
+    assert(e1.getMessage.toLowerCase.contains("type"))
+    val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_word_gram_keys(array(1), 2)").collect()
+    }
+    assert(e2.getMessage.toLowerCase.contains("type"))
+  }
+
   test("expressions survive a DataFrame round trip with codegen") {
     val cfg = GraftConfig()
     val df = Seq(

@@ -33,7 +33,7 @@ class StreamingDedupSpec extends AnyFunSuite {
       val rows = StreamingIngest.contentStream(spark, src)
       val q = StreamingDedup.dedupAgainstState(rows).writeStream
         .format("parquet").option("path", out)
-        .option("checkpointLocation", ckpt)
+        .option("checkpointLocation", StreamingDedup.guardCheckpoint(spark, ckpt))
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
       q.awaitTermination(120000)
     }
@@ -60,6 +60,32 @@ class StreamingDedupSpec extends AnyFunSuite {
     assert(pass2.size === 5, "exactly the five rows, no reprocessing of batch 1")
     assert(pass2("a3") === ((false, 2L)), "cross-restart duplicate must be flagged")
     assert(pass2("c1") === ((true, 0L)))
+  }
+
+  test("checkpoint guard: fresh dir stamped, pre-upgrade and mismatched dirs refused") {
+    val root = java.nio.file.Files.createTempDirectory("graft-sdedup-guard")
+    // fresh dir: stamped with the current version, idempotent re-entry OK
+    val fresh = root.resolve("fresh").toString
+    assert(StreamingDedup.guardCheckpoint(spark, fresh) === fresh)
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(fresh, "_graft_dedup_state_version")))
+    StreamingDedup.guardCheckpoint(spark, fresh) // same version: no error
+    // pre-upgrade checkpoint: streaming metadata present, no marker → refuse
+    val old = root.resolve("old")
+    java.nio.file.Files.createDirectories(old.resolve("offsets"))
+    val e1 = intercept[IllegalStateException] {
+      StreamingDedup.guardCheckpoint(spark, old.toString)
+    }
+    assert(e1.getMessage.contains("fresh"), "error must tell the operator what to do")
+    // mismatched version marker → refuse
+    val other = root.resolve("other")
+    java.nio.file.Files.createDirectories(other)
+    java.nio.file.Files.writeString(
+      other.resolve("_graft_dedup_state_version"), "simhash-v1\n")
+    val e2 = intercept[IllegalStateException] {
+      StreamingDedup.guardCheckpoint(spark, other.toString)
+    }
+    assert(e2.getMessage.contains("simhash-v1"))
   }
 
   test("batch-mode parity: same operator runs on a static Dataset") {
