@@ -28,17 +28,10 @@ object Queries {
     * (payload-fusion disabled via weight PHASH=0 — text has no pixels).
     */
   private def docsAsImages(docs: DataFrame): DataFrame =
-    // scanFloor: the sub-MB documents parquet is one split — without it the
-    // fingerprint mapPartitions (and its 2-3 plan-branch recomputes in the
-    // candidate generators) runs serially on one core (guide §6). Capped at
-    // 8: the consumers are MANY-stage candidate/CC paths whose per-stage
-    // task-launch overhead at 32 partitions exceeds the extra parallelism
-    // on a small corpus (TieredProbe: taskSec 2.7 -> 20 core-s at 32, wall
-    // worse; 8 keeps the fingerprint stage parallel at ~1/4 the overhead).
-    TextOps.scanFloor(docs.select(
+    docs.select(
       col("doc_id").cast("string").as("image_id"),
       col("text").as("caption"),
-      lit(0L).as("phash")), cap = 8)
+      lit(0L).as("phash"))
 
   private def docsAsImages(spark: SparkSession, dir: String): DataFrame =
     docsAsImages(documents(spark, dir))
@@ -332,9 +325,9 @@ object Queries {
     "dedup_simhash_pairs_diffgroup" -> ((s, dir) => {
       // F6 compare mode: only cross-source pairs (reference -onlydiffF)
       val fps = Fingerprints.compute(
-        TextOps.scanFloor(documents(s, dir).select(
+        documents(s, dir).select(
           col("doc_id").cast("string").as("image_id"),
-          col("text").as("caption"), lit(0L).as("phash"), col("source")), cap = 8),
+          col("text").as("caption"), lit(0L).as("phash"), col("source")),
         docCfg, groupCol = Some("source"))
       Candidates.simhashPairs(fps, docCfg, docCfg.sigmaHigh, onlyDiffGroup = true)
         .select(col("a").cast("long").as("a"), col("b").cast("long").as("b"))
@@ -403,8 +396,7 @@ object Queries {
     "grouped_simhash" -> ((s, dir) => {
       // file-based fingerprint mode analogue (G6): one simhash per source
       Fingerprints.groupedSimhash(
-        TextOps.scanFloor(documents(s, dir)
-          .select(col("source"), col("text").as("caption"), lit(0L).as("phash"))),
+        documents(s, dir).select(col("source"), col("text").as("caption"), lit(0L).as("phash")),
         "source", docCfg)
         .withColumnRenamed("key", "source")
         .orderBy("source")

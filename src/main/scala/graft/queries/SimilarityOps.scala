@@ -126,9 +126,7 @@ object SimilarityOps {
              probeRadius: Int = 2, seed: Long = 42L): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
-    // scanFloor: parallelize the per-vector signature flatMaps (L tables ×
-    // n vectors of hyperplane dots) — one scan split otherwise
-    val base = TextOps.scanFloor(embeddings.select(col("vec_id"), col("embedding")))
+    val base = embeddings.select(col("vec_id"), col("embedding"))
       .as[(Long, Array[Float])]
 
     // data side: L bucket keys per vector — key-only rows into the join
