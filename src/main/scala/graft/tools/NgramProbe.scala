@@ -33,6 +33,16 @@ object NgramProbe {
       v
     }
 
+    // plan of the underlying jpairs computation (the query-facing frame is
+    // the shared cache read — this is what computes it)
+    sys.env.get("NGRAM_PLAN_OUT").foreach { p =>
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(p),
+        TextOps.ngramJaccardPairs(TextOps.documents(spark, sfDir), 3, 0.5)
+          .queryExecution.explainString(
+            org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+      println(s"[ngramprobe] plan written to $p")
+    }
+
     (1 to 3).foreach { rep =>
       println(s"--- rep $rep ---")
       val docs = TextOps.documents(spark, sfDir)
