@@ -127,13 +127,50 @@ object Clustering {
         .unionByName(longEdges.select(col("rb").as("src"), col("ra").as("dst")))
         .repartition(col("src")))
 
+    // Round-6 floor cut: with AQE on, EVERY exchange in a batch is its own
+    // query-stage job with driver/replan turnaround — ~15 stage-jobs per
+    // batch of tiny checkpoint-backed CC frames, pure serial-floor latency
+    // that does not shrink with cores. The loop therefore runs in a CHILD
+    // session (same SparkContext, own SQLConf — no conf set/restore races
+    // with concurrently-running tier CCs) with AQE off, so one batch is ONE
+    // job with all its stages pipelined by the DAG scheduler. What AQE was
+    // providing the loop is replaced explicitly: (a) runtime partition
+    // coalescing → a static shuffle width derived from the materialized
+    // sym's OWN partition count (AQE already coalesced that exchange to a
+    // data-proportional width; floored for multi-core parallelism) —
+    // scale-adaptive, not a tuned constant; (b) dynamic broadcast — not
+    // applicable: the loop's joins are label-frame ⋈ label-frame/sym, both
+    // sides checkpoint-backed with only product-inflated inherited size
+    // estimates, so AQE never broadcast them here anyway (and at scale they
+    // are not broadcastable). The candidate generators and everything else
+    // keep AQE (fully off was measured 3x worse in round 5 — dynamic
+    // broadcasts there are load-bearing). GRAFT_CC_LOOP_AQE=1 reverts to
+    // the in-session AQE loop.
+    val loopSession =
+      if (sys.env.contains("GRAFT_CC_LOOP_AQE")) None
+      else {
+        val s = edges.sparkSession.newSession()
+        s.conf.set("spark.sql.adaptive.enabled", "false")
+        s.conf.set("spark.sql.shuffle.partitions", math.max(
+          sym.rdd.getNumPartitions,
+          math.min(16, edges.sparkSession.sparkContext.defaultParallelism)).toString)
+        Some(s)
+      }
+    // bridge sym into the loop session through a global temp view (public
+    // API; same plan + checkpoint blocks, no data conversion)
+    val symView = "graft_cc_sym_" + java.util.UUID.randomUUID.toString.replace("-", "_")
+    val symLoop = loopSession.map { s =>
+      sym.createOrReplaceGlobalTempView(symView)
+      s.table("global_temp." + symView)
+    }.getOrElse(sym)
+
     // Only vertices incident to an edge participate in propagation; the
     // (overwhelmingly more numerous, at production dup rates) singletons
     // keep their own label and never enter the loop. Initial labels stay
     // lazy — their plan is one scan of the checkpointed `sym` (constant
     // size), and round 1 materializes them anyway; a separate init job
     // would be a pure extra barrier.
-    var labels = sym.select(col("src").as("vid")).distinct()
+    var labels = symLoop.select(col("src").as("vid")).distinct()
       .withColumn("label", col("vid"))
 
     // One BATCH = two full rounds of (propagate min over edges, then pointer
@@ -157,7 +194,7 @@ object Clustering {
     // test is a filter on the SAME materialized frame (no extra join), and
     // its own min-fold is still applied — probe work is never thrown away
     def propagateProbe(d: DataFrame): DataFrame = {
-      val neighborMin = sym
+      val neighborMin = symLoop
         .join(d.select(col("vid").as("src"), col("label")), "src")
         .groupBy(col("dst").as("vid"))
         .agg(min("label").as("nmin"))
@@ -173,6 +210,7 @@ object Clustering {
       .select(col("vid"),
         least(col("label"), coalesce(col("ll"), col("label"))).as("label"))
     def round(d: DataFrame): DataFrame = jump(jump(propagate(d)))
+
 
     var iter = 0
     // Empty edge set → nothing propagates: skip the loop entirely instead of
@@ -216,6 +254,7 @@ object Clustering {
     // they are freed by the caller's session-level tracking, exactly like
     // the final batch's label blocks.)
     unpersistIds(sym, symIds)
+    loopSession.foreach(_ => edges.sparkSession.catalog.dropGlobalTempView(symView))
     if (!converged)
       System.err.println(s"[graft] WARNING: connectedComponents hit maxIter=$maxIter " +
         "with labels still changing — components with diameter > 2^maxIter may be " +

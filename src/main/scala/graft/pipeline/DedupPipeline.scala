@@ -80,17 +80,22 @@ object DedupPipeline {
     // RELIABLE checkpoint store and survive executor loss; bare local mode
     // falls back to localCheckpoint (executor-resident blocks — fine in a
     // single-JVM sandbox, NOT the cluster default).
-    def staged(name: String)(f: => DataFrame): DataFrame =
-      audit.map(_.stage(name)(f)).getOrElse {
+    def staged(name: String)(f: => DataFrame): DataFrame = {
+      // job labels (guide §1.5) — make the UI/event log attributable
+      spark.sparkContext.setJobDescription(s"graft: stage $name")
+      val out = audit.map(_.stage(name)(f)).getOrElse {
         val t0 = System.nanoTime()
         val df = f
-        val out =
+        val cp =
           if (spark.sparkContext.getCheckpointDir.isDefined) df.checkpoint(true)
           else df.localCheckpoint(true)
         if (sys.props.contains("graft.profile"))
           println(f"[profile] stage $name: ${(System.nanoTime() - t0) / 1e9}%.2f s")
-        out
+        cp
       }
+      spark.sparkContext.setJobDescription(null)
+      out
+    }
 
     val fpsDf = staged("fingerprints") {
       Fingerprints.compute(images, cfg, groupCol).toDF()
