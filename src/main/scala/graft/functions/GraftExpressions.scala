@@ -80,7 +80,7 @@ object GraftExpressions {
     * word w-gram, w = 1..min(k, words) — see [[GramHash.gramKeys]]. The
     * substring pass explodes this instead of building per-gram strings.
     */
-  case class WordGramKeyArray(child: Expression, k: Int)
+  case class WordGramKeyArray(child: Expression, k: Int, widthMask: Int = -1)
       extends UnaryExpression with ExpectsInputTypes {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def prettyName: String = "graft_word_gram_keys"
@@ -88,12 +88,12 @@ object GraftExpressions {
 
     override protected def nullSafeEval(t: Any): Any =
       new GenericArrayData(
-        GramHash.gramKeys(t.asInstanceOf[UTF8String].getBytes, k))
+        GramHash.gramKeys(t.asInstanceOf[UTF8String].getBytes, k, widthMask))
 
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
       defineCodeGen(ctx, ev, t =>
         s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
-          s"graft.functions.GramHash.gramKeys($t.getBytes(), $k))")
+          s"graft.functions.GramHash.gramKeys($t.getBytes(), $k, $widthMask))")
 
     override protected def withNewChildInternal(newChild: Expression): Expression =
       copy(child = newChild)
@@ -137,7 +137,8 @@ object GraftExpressions {
       ((args: Seq[Expression]) => SortedIntersectCount(args(0), args(1))),
     "graft_word_gram_keys" ->
       ((args: Seq[Expression]) =>
-        WordGramKeyArray(args(0), intLit(args(1), "graft_word_gram_keys"))),
+        WordGramKeyArray(args(0), intLit(args(1), "graft_word_gram_keys"),
+          if (args.length > 2) intLit(args(2), "graft_word_gram_keys") else -1)),
     "graft_leading_gram_key" ->
       ((args: Seq[Expression]) =>
         LeadingGramKey(args(0), intLit(args(1), "graft_leading_gram_key")))
@@ -163,9 +164,12 @@ object GraftExpressions {
     call_function("graft_sorted_intersect_count", a, b)
   }
 
-  def wordGramKeys(spark: SparkSession, text: Column, k: Int): Column = {
+  def wordGramKeys(spark: SparkSession, text: Column, k: Int,
+                   widthMask: Int = -1): Column = {
     ensureRegistered(spark)
-    call_function("graft_word_gram_keys", text, org.apache.spark.sql.functions.lit(k))
+    call_function("graft_word_gram_keys", text,
+      org.apache.spark.sql.functions.lit(k),
+      org.apache.spark.sql.functions.lit(widthMask))
   }
 
   def leadingGramKey(spark: SparkSession, text: Column, k: Int): Column = {

@@ -57,31 +57,44 @@ object GramHash {
   private def startOf(ends: Array[Int], i: Int): Int =
     if (i == 0) 0 else ends(i - 1) + 1
 
-  /** Distinct (sorted) hash keys of every word w-gram for w = 1..min(k, n).
+  /** Distinct (sorted) hash keys of every word w-gram for w = 1..min(k, n),
+    * restricted to widths set in `widthMask` (bit w-1 = width w; -1 = all).
     * One scan, one output array; per-gram hashing is a ranged murmur over
     * the input bytes (no per-gram string or slice). Sorting + in-place
     * dedupe keeps each key VALUE exactly once — a join on the exploded keys
     * matches iff the value is present, so deduping never loses a match.
+    *
+    * The width mask exists because keys are SEEDED by width: a width-w
+    * anchor key can only ever equal a width-w gram key, so haystack rows of
+    * widths no anchor has are dead weight in the join's shuffle — the
+    * substring pass measures the anchor widths actually present and emits
+    * only those (output provably identical).
     */
-  def gramKeys(bytes: Array[Byte], k: Int): Array[Long] = {
+  def gramKeys(bytes: Array[Byte], k: Int, widthMask: Int = -1): Array[Long] = {
     val ends = new Array[Int](boundarySlots(bytes))
     val nTok = tokenEnds(bytes, ends)
     if (nTok == 0) return Array.emptyLongArray
     val kEff = math.min(k, nTok)
     var total = 0
     var w = 1
-    while (w <= kEff) { total += nTok - w + 1; w += 1 }
+    while (w <= kEff) {
+      if ((widthMask & (1 << (w - 1))) != 0) total += nTok - w + 1
+      w += 1
+    }
+    if (total == 0) return Array.emptyLongArray
     val out = new Array[Long](total)
     var m = 0
     w = 1
     while (w <= kEff) {
-      var i = 0
-      val last = nTok - w
-      while (i <= last) {
-        val from = startOf(ends, i)
-        out(m) = Murmur3x64.hash128(bytes, from, ends(i + w - 1) - from, w.toLong)._1
-        m += 1
-        i += 1
+      if ((widthMask & (1 << (w - 1))) != 0) {
+        var i = 0
+        val last = nTok - w
+        while (i <= last) {
+          val from = startOf(ends, i)
+          out(m) = Murmur3x64.hash128(bytes, from, ends(i + w - 1) - from, w.toLong)._1
+          m += 1
+          i += 1
+        }
       }
       w += 1
     }

@@ -276,15 +276,30 @@ object Candidates {
     * so at 10^12 scale the wide data crosses the wire once per verified
     * candidate instead of once per band replica.
     */
+  /** @param minhashDerived caller guarantees the input rows' minhash column
+    *   IS `MinHashCore.signature(grams, permutations(cfg.minhashK, cfg.seed))`
+    *   — true for everything the fingerprint stage produced (both paths
+    *   compute it exactly so; FastFingerprintSpec pins them identical). The
+    *   pass then does NOT shuffle the minhash column through the collapse
+    *   (64 longs = 512 B/row, ~4x the grams array — round-6 JobTrace: the
+    *   band collapse was the pipeline's largest shuffle WRITE at 1M images)
+    *   and recomputes the signature per REPRESENTATIVE from its gram set —
+    *   bit-identical, the signature being a pure order-insensitive min-fold
+    *   — for ~1/5 the exchange bytes. With false (default), minhash is an
+    *   independent input and rides the shuffle (the general contract
+    *   BucketExactnessSpec exercises with synthetic lanes).
+    */
   def bandPairs(fps: Dataset[FingerprintRow], cfg: GraftConfig,
-                expandPairs: Boolean = false): DataFrame = {
+                expandPairs: Boolean = false,
+                minhashDerived: Boolean = false): DataFrame = {
     // collapse identical gram sets (Jaccard 1 by construction) to one
     // representative each — a mega-group of equal captions costs O(|group|).
-    // Projected to the three columns this pass reads (id, grams for
-    // key+verify, minhash for band keys) before the all-rows collapse
-    // shuffle — drops simhash/span/group/caption_norm payload.
-    val (reps, star) = collapseExact(
-      fps.toDF().select(col("image_id"), col("grams"), col("minhash")), Seq("grams"))
+    // Projected to the columns this pass reads (id, grams for key+verify
+    // [, minhash unless derived]) before the all-rows collapse shuffle.
+    val collapseCols =
+      if (minhashDerived) fps.toDF().select(col("image_id"), col("grams"))
+      else fps.toDF().select(col("image_id"), col("grams"), col("minhash"))
+    val (reps, star) = collapseExact(collapseCols, Seq("grams"))
     // band key = the shared core's folded 64-bit band hash
     // (MinHashCore.bandHashes — band index mixed into the fold), not the
     // raw lane array: the exploded key rows are the self-join's shuffle
@@ -297,11 +312,29 @@ object Candidates {
     // Computed in a narrow typed map over (id, minhash) only — no wide
     // decode of the fingerprint row.
     val rpb = cfg.rowsPerBand
+    val minhashK = cfg.minhashK
+    val seed = cfg.seed
     val spark0 = fps.sparkSession
     import spark0.implicits._
-    val keyed = reps.select(col("image_id"), col("minhash"))
-      .as[(String, Array[Long])]
-      .map { case (id, mh) => (id, graft.core.MinHashCore.bandHashes(mh, rpb)) }
+    val bandRows =
+      if (minhashDerived)
+        reps.select(col("image_id"), col("grams"))
+          .as[(String, Array[Long])]
+          .mapPartitions { iter =>
+            // same permutation table the fingerprint stage used (pure
+            // function of cfg) — the rep's recomputed signature is
+            // bit-identical to its shuffled-away column
+            val perms = graft.core.MinHashCore.permutations(minhashK, seed)
+            iter.map { case (id, grams) =>
+              (id, graft.core.MinHashCore.bandHashes(
+                graft.core.MinHashCore.signature(grams, 0, grams.length, perms), rpb))
+            }
+          }
+      else
+        reps.select(col("image_id"), col("minhash"))
+          .as[(String, Array[Long])]
+          .map { case (id, mh) => (id, graft.core.MinHashCore.bandHashes(mh, rpb)) }
+    val keyed = bandRows
       .toDF("image_id", "bandhashes")
       .select(col("image_id"),
         posexplode(col("bandhashes")).as(Seq("bandIdx", "bandKey")))
@@ -327,10 +360,15 @@ object Candidates {
     else verified.unionByName(star)
   }
 
-  /** Union of all generators + pair-level dedup (SURVEY.md §2.7). */
+  /** Union of all generators + pair-level dedup (SURVEY.md §2.7). The
+    * pipeline's fps rows come from the fingerprint stage, whose minhash is
+    * derived from the gram set by construction — the band pass may
+    * recompute it per representative instead of shuffling it.
+    */
   def allCandidates(fps: Dataset[FingerprintRow], cfg: GraftConfig): DataFrame = {
     val sim = simhashPairs(fps, cfg, cfg.sigmaHigh).withColumn("source", lit("simhash"))
-    val band = bandPairs(fps, cfg).withColumn("source", lit("minhash_band"))
+    val band = bandPairs(fps, cfg, minhashDerived = true)
+      .withColumn("source", lit("minhash_band"))
     sim.unionByName(band)
       .groupBy("a", "b").agg(min("source").as("source"))
   }

@@ -34,6 +34,28 @@ object Substring {
   def substringPairs(rows: DataFrame, cfg: GraftConfig): DataFrame = {
     val k = cfg.shingleK
     val spark = rows.sparkSession
+    // Anchor-width census (round 6): gram keys are SEEDED by width, so a
+    // width-w anchor can only ever join width-w haystack keys — haystack
+    // rows of widths no anchor has are dead shuffle weight (the haystack
+    // explosion was the pipeline's largest exchange at 1M images, ~2 GB,
+    // and widths below k only exist for anchors whose WHOLE caption is
+    // shorter than k words yet over minSpan chars — rare to absent). One
+    // tiny aggregation measures which widths exist and the explode emits
+    // only those; provably output-identical. At most k (≤3) mask bits.
+    val widthCol = least(lit(k), size(split(col("caption_norm"), " ")))
+    val widthMask = rows
+      .filter(col("span") > cfg.minSpan)
+      .select(widthCol.as("w"))
+      .groupBy("w").agg(count(lit(1)))
+      .collect().map(_.getInt(0))
+      .foldLeft(0)((m, w) => m | (1 << (w - 1)))
+    if (widthMask == 0) { // no anchors at all -> no pairs
+      return rows.sparkSession.createDataFrame(
+        rows.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("a", rows.schema("image_id").dataType),
+          org.apache.spark.sql.types.StructField("b", rows.schema("image_id").dataType))))
+    }
     // anchors: 64-bit key of the first min(k, |words|)-word gram, computed
     // by the codegen'd LeadingGramKey expression in one byte scan — no
     // split(), no token array, no gram string (round-5 JFR: the split-based
@@ -69,7 +91,7 @@ object Substring {
       .select(col("image_id").as("b"), col("caption_norm").as("b_text"),
         col("span").as("b_span"),
         explode(graft.functions.GraftExpressions
-          .wordGramKeys(spark, col("caption_norm"), k)).as("gram_key"))
+          .wordGramKeys(spark, col("caption_norm"), k, widthMask)).as("gram_key"))
     anchors.join(grams, Seq("gram_key"))
       .filter(col("a") =!= col("b") && col("a_span") < col("b_span") &&
         // word-aligned verbatim containment of the full shorter caption:

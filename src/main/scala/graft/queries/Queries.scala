@@ -298,7 +298,7 @@ object Queries {
     }),
     "dedup_minhash_lsh" -> ((s, dir) => {
       val fps = Fingerprints.compute(docsAsImages(s, dir), docCfg)
-      Candidates.bandPairs(fps, docCfg, expandPairs = true)
+      Candidates.bandPairs(fps, docCfg, expandPairs = true, minhashDerived = true)
         .select(col("a").cast("long").as("a"), col("b").cast("long").as("b"))
         .orderBy("a", "b")
     }),

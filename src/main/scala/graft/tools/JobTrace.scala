@@ -25,18 +25,33 @@ object JobTrace {
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    final case class J(id: Int, start: Long, var end: Long = 0L, desc: String)
+    final case class J(id: Int, start: Long, var end: Long = 0L, desc: String,
+                       stages: Seq[Int])
     val jobs = new java.util.concurrent.ConcurrentHashMap[Int, J]()
+    val stageAgg = new java.util.concurrent.ConcurrentHashMap[Int, (Long, Long, Long, String)]()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(e: SparkListenerJobStart): Unit = {
         val desc = Option(e.properties)
           .flatMap(p => Option(p.getProperty("spark.job.description")))
           .orElse(Option(e.properties).flatMap(p =>
             Option(p.getProperty("callSite.short")))).getOrElse("?")
-        jobs.put(e.jobId, J(e.jobId, e.time, desc = desc)); ()
+        jobs.put(e.jobId, J(e.jobId, e.time, desc = desc,
+          stages = e.stageIds.map(_.toInt)))
+        ()
       }
       override def onJobEnd(e: SparkListenerJobEnd): Unit = {
         Option(jobs.get(e.jobId)).foreach(_.end = e.time); ()
+      }
+      override def onStageCompleted(
+          s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val i = s.stageInfo
+        val m = i.taskMetrics
+        stageAgg.put(i.stageId, (
+          if (m != null) m.shuffleReadMetrics.totalBytesRead else 0L,
+          if (m != null) m.shuffleWriteMetrics.bytesWritten else 0L,
+          if (m != null) m.executorRunTime else 0L,
+          i.name.take(60)))
+        ()
       }
     })
 
@@ -57,7 +72,12 @@ object JobTrace {
         js.foreach { j =>
           val gap = j.start - prevEnd
           gapTotal += math.max(0L, gap)
-          println(f"job ${j.id}%3d wall=${(j.end - j.start) / 1000.0}%7.2f s gapBefore=${gap / 1000.0}%6.2f s  ${j.desc.take(90)}")
+          val st = j.stages.flatMap(id => Option(stageAgg.get(id)))
+          val rd = st.map(_._1).sum / 1e6
+          val wr = st.map(_._2).sum / 1e6
+          val task = st.map(_._3).sum / 1000.0
+          val names = j.stages.flatMap(id => Option(stageAgg.get(id)).map(_._4)).distinct
+          println(f"job ${j.id}%3d wall=${(j.end - j.start) / 1000.0}%7.2f s gapBefore=${gap / 1000.0}%6.2f s task=${task}%7.1f cs shufR=${rd}%7.1fM shufW=${wr}%7.1fM  ${j.desc.take(40)} | ${names.mkString(";").take(80)}")
           prevEnd = math.max(prevEnd, j.end)
         }
         println(f"-- total inter-job gap=${gapTotal / 1000.0}%.1f s of ${wall / 1000.0}%.1f s wall")

@@ -90,6 +90,33 @@ class BucketExactnessSpec extends AnyFunSuite {
     }
   }
 
+  test("derived-minhash band path == shuffled-minhash path on real fingerprints") {
+    // round-6: the pipeline passes minhashDerived=true so the 512 B/row
+    // signature column is recomputed per representative instead of shuffled
+    // through the collapse — valid exactly when minhash = signature(grams),
+    // which is true for fingerprint-stage rows by construction. Pin the two
+    // paths identical on REAL fingerprints (captions with planted near-dups
+    // and exact dups so collapse, banding, and verify all engage).
+    val caps = (0 until 40).map {
+      case i if i % 4 == 0 => s"a bright red vintage car parked beside harbor wall number ${i / 8}"
+      case i if i % 4 == 1 => s"a bright red vintage car parked beside harbor wall number ${i / 8} today"
+      case i => s"totally unrelated caption about topic $i with distinct words w$i x$i"
+    }
+    import spark.implicits._
+    val images = caps.zipWithIndex
+      .map { case (c, i) => (f"d$i%03d", c, 0L) }
+      .toDF("image_id", "caption", "phash")
+    val fps = graft.pipeline.Fingerprints.compute(images, GraftConfig())
+      .toDF().localCheckpoint(true).as[FingerprintRow](
+        org.apache.spark.sql.Encoders.product[FingerprintRow])
+    val derived = collectPairs(
+      Candidates.bandPairs(fps, GraftConfig(), expandPairs = true, minhashDerived = true)).toSet
+    val shuffled = collectPairs(
+      Candidates.bandPairs(fps, GraftConfig(), expandPairs = true)).toSet
+    assert(derived === shuffled)
+    assert(derived.nonEmpty, "fixture must produce band pairs or the test is vacuous")
+  }
+
   test("minhash band candidates = definition, salted == unsalted, exactly once") {
     (1 to nTrials).foreach { trial =>
       val rnd = new scala.util.Random(2000 + trial)
